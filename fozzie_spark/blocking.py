@@ -1,0 +1,273 @@
+"""Candidate-pair generation (the blocking stage).
+
+All builders operate on DataFrames of DISTINCT key tuples — the engine
+dedupes on unique key values before pairing (the reference's central
+optimization, src/rust/src/utils.rs:7-20) and re-expands to rows after
+scoring. Every builder is pure DataFrame ops (JVM-side, codegen-friendly);
+nothing here collects to the driver except scalar stats for bin sizing.
+
+Blocking families (SURVEY.md §2.2/§4):
+- length-band join for edit distances  (ref: string/edit/mod.rs:35-48)
+- q-gram inverted index (+ count lower bound) for edit & ngram methods
+  (ref: string/ngram/jaccard.rs:118-177)
+- numeric banding for difference joins (ref: difference/mod.rs:19-43)
+- grid cells for k-D distance joins
+- overlap bins for interval joins (replaces the reference's interval tree)
+
+Each candidate join is an equi-join on a generated block key, so Catalyst
+plans a shuffled hash / sort-merge join; hot keys can be salted upstream by
+`pairs.salt_repartition`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def qgrams_col(col: str, q: int):
+    """Array of character q-grams; strings shorter than q => empty array.
+
+    Mirrors the reference's char-window extraction (utils.rs:81-99).
+    """
+    return F.when(
+        F.length(F.col(col)) >= q,
+        F.expr(f"transform(sequence(1, length({col}) - {q} + 1), i -> substring({col}, i, {q}))"),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_counts(keys: DataFrame, key: str, q: int) -> DataFrame:
+    """(key, gram, cnt) multiset profile per distinct key value."""
+    return (
+        keys.select(key, F.explode(qgrams_col(key, q)).alias("__fz_g"))
+        .groupBy(key, "__fz_g")
+        .agg(F.count(F.lit(1)).alias("__fz_c"))
+    )
+
+
+def edit_candidates(
+    lkeys: DataFrame,
+    rkeys: DataFrame,
+    lkey: str,
+    rkey: str,
+    max_distance: float,
+    method: str = "levenshtein",
+    q: int = 2,
+    gram_filter: bool = True,
+) -> DataFrame:
+    """Candidates for edit-distance methods (lv/osa/dl/lcs/hamming).
+
+    Sound two-path blocking:
+    - SHORT pairs (both sides shorter than q + q*tau): length-band equi-join
+      — char-length superset of the reference's byte-length band
+      (levenshtein.rs:62-64), never fewer candidates.
+    - LONG pairs: q-gram count filtering. Any pair within edit distance tau
+      shares >= max(|a|,|b|) - q + 1 - q*tau q-grams (Gravano et al.,
+      VLDB'01), which is >= 1 when max len >= q*(tau+1); inverted-index join
+      on grams + SUM(min(count)) threshold.
+
+    Returns distinct (lkey, rkey) pairs.
+    """
+    tau = int(max_distance)
+    l = lkeys.select(lkey).withColumn("__fz_ll", F.length(lkey))
+    r = rkeys.select(rkey).withColumn("__fz_rl", F.length(rkey))
+
+    if method == "hamming":
+        # unequal lengths never match (hamming.rs:26-31): exact-length block
+        return l.join(r, F.col("__fz_ll") == F.col("__fz_rl")).select(lkey, rkey)
+
+    if not gram_filter:
+        le = l.withColumn(
+            "__fz_bl", F.explode(F.sequence(F.col("__fz_ll") - tau, F.col("__fz_ll") + tau))
+        )
+        return le.join(r, F.col("__fz_bl") == F.col("__fz_rl")).select(lkey, rkey)
+
+    short_cut = q * (tau + 1)  # strings >= this length are prunable by grams
+
+    # short path: band join restricted to both-short keys
+    ls = l.filter(F.col("__fz_ll") < short_cut).withColumn(
+        "__fz_bl", F.explode(F.sequence(F.col("__fz_ll") - tau, F.col("__fz_ll") + tau))
+    )
+    rs = r.filter(F.col("__fz_rl") < short_cut)
+    short_pairs = ls.join(rs, F.col("__fz_bl") == F.col("__fz_rl")).select(lkey, rkey)
+
+    # long path: gram-count inverted index join
+    lg = _gram_counts(lkeys, lkey, q).withColumnRenamed("__fz_c", "__fz_cl")
+    rg = _gram_counts(rkeys, rkey, q).withColumnRenamed("__fz_c", "__fz_cr")
+    shared = (
+        lg.join(rg, "__fz_g")
+        .groupBy(lkey, rkey)
+        .agg(F.sum(F.least("__fz_cl", "__fz_cr")).alias("__fz_shared"))
+    )
+    long_pairs = (
+        shared.withColumn("__fz_ll", F.length(lkey))
+        .withColumn("__fz_rl", F.length(rkey))
+        .filter(F.greatest("__fz_ll", "__fz_rl") >= short_cut)
+        .filter(F.abs(F.col("__fz_ll") - F.col("__fz_rl")) <= tau)
+        .filter(
+            F.col("__fz_shared")
+            >= F.greatest("__fz_ll", "__fz_rl") - q + 1 - q * tau
+        )
+        .select(lkey, rkey)
+    )
+    return short_pairs.unionByName(long_pairs)
+
+
+def ngram_candidates(
+    lkeys: DataFrame,
+    rkeys: DataFrame,
+    lkey: str,
+    rkey: str,
+    method: str,
+    max_distance: float,
+    q: int,
+) -> DataFrame:
+    """Candidates for qgram/cosine/jaccard profile distances.
+
+    Core: inverted-index join on distinct grams (the reference's jaccard
+    index, jaccard.rs:118-158) + method-specific small/empty-profile blocks
+    so semantics on short strings survive (SURVEY.md §2.6 #8):
+    - jaccard: both-empty profiles => dist 0.0 -> always candidates;
+      plus size-bound prune 1 - min/max > tau  (jaccard.rs:169-177).
+    - cosine: empty profile => dist 1.0, only reachable when tau >= 1 — and
+      then EVERY pair matches, so candidates degenerate to the cross join.
+    - qgram: pairs with no shared gram have dist n1+n2; include the
+      small-profile cross block (n1 + n2 <= tau).
+    """
+    if method == "cosine" and max_distance >= 1.0:
+        return lkeys.select(lkey).crossJoin(rkeys.select(rkey))
+
+    lsets = lkeys.select(lkey, F.array_distinct(qgrams_col(lkey, q)).alias("__fz_gs"))
+    rsets = rkeys.select(rkey, F.array_distinct(qgrams_col(rkey, q)).alias("__fz_gs2"))
+
+    lx = lsets.select(lkey, F.size("__fz_gs").alias("__fz_nl"), F.explode("__fz_gs").alias("__fz_g"))
+    rx = rsets.select(rkey, F.size("__fz_gs2").alias("__fz_nr"), F.explode("__fz_gs2").alias("__fz_g"))
+    pairs = lx.join(rx, "__fz_g").select(lkey, rkey, "__fz_nl", "__fz_nr").distinct()
+
+    if method == "jaccard":
+        # size-bound prune: best-case distance 1 - min/max must be <= tau
+        pairs = pairs.filter(
+            F.lit(1.0)
+            - F.least("__fz_nl", "__fz_nr") / F.greatest("__fz_nl", "__fz_nr")
+            <= max_distance
+        )
+        empty_l = lsets.filter(F.size("__fz_gs") == 0).select(lkey)
+        empty_r = rsets.filter(F.size("__fz_gs2") == 0).select(rkey)
+        extra = empty_l.crossJoin(empty_r)
+        return pairs.select(lkey, rkey).unionByName(extra)
+
+    if method == "qgram":
+        # total-count profiles (multiset sizes), not distinct sizes
+        lc = lkeys.select(lkey, F.size(qgrams_col(lkey, q)).alias("__fz_tl"))
+        rc = rkeys.select(rkey, F.size(qgrams_col(rkey, q)).alias("__fz_tr"))
+        tau = max_distance
+        small = (
+            lc.filter(F.col("__fz_tl") <= tau)
+            .crossJoin(rc.filter(F.col("__fz_tr") <= tau))
+            .filter(F.col("__fz_tl") + F.col("__fz_tr") <= tau)
+            .select(lkey, rkey)
+        )
+        # prune: qgram dist >= |t1 - t2|
+        sized = (
+            pairs.select(lkey, rkey)
+            .join(lc, lkey)
+            .join(rc, rkey)
+            .filter(F.abs(F.col("__fz_tl") - F.col("__fz_tr")) <= tau)
+            .select(lkey, rkey)
+        )
+        return sized.unionByName(small).distinct()
+
+    # cosine (tau < 1): shared-gram pairs only
+    return pairs.select(lkey, rkey)
+
+
+def cross_candidates(lkeys: DataFrame, rkeys: DataFrame, lkey: str, rkey: str) -> DataFrame:
+    """Full cross product of distinct keys — jaro/jw (the reference also has
+    no pruning for jw, jaro_winkler.rs:98-133). Keep inputs deduped!"""
+    return lkeys.select(lkey).crossJoin(rkeys.select(rkey))
+
+
+def band_candidates(
+    lkeys: DataFrame, rkeys: DataFrame, lkey: str, rkey: str, max_distance: float
+) -> DataFrame:
+    """1-D numeric banding: bucket = floor(x/tau); left probes {b-1,b,b+1}.
+
+    Mirrors difference/mod.rs:19-43; O(n+m+candidates), no cross join.
+    """
+    if max_distance <= 0:
+        return lkeys.select(lkey).join(rkeys.select(rkey), F.col(lkey) == F.col(rkey))
+    tau = float(max_distance)
+    l = lkeys.select(lkey).withColumn(
+        "__fz_b",
+        F.explode(
+            F.array(
+                F.floor(F.col(lkey) / tau) - 1,
+                F.floor(F.col(lkey) / tau),
+                F.floor(F.col(lkey) / tau) + 1,
+            )
+        ),
+    )
+    r = rkeys.select(rkey).withColumn("__fz_rb", F.floor(F.col(rkey) / tau))
+    return l.join(r, F.col("__fz_b") == F.col("__fz_rb")).select(lkey, rkey)
+
+
+def grid_candidates(
+    lkeys: DataFrame,
+    rkeys: DataFrame,
+    lcols: list[str],
+    rcols: list[str],
+    max_distance: float,
+) -> DataFrame:
+    """k-D grid-cell blocking for distance joins: any pair with
+    L1/L2 distance <= tau satisfies |x_i - y_i| <= tau per dimension, so
+    cell-join on floor(x/tau) with +-1 probes per dim is a sound superset.
+    Replaces the reference's O(n*m) nested loop (distance/mod.rs:94-129).
+    """
+    if max_distance <= 0:
+        cond = [F.col(lc) == F.col(rc) for lc, rc in zip(lcols, rcols)]
+        return lkeys.join(rkeys, cond).select(*lcols, *rcols)
+    tau = float(max_distance)
+    l = lkeys.select(*lcols)
+    for i, lc in enumerate(lcols):
+        cell = F.floor(F.col(lc) / tau)
+        l = l.withColumn(f"__fz_c{i}", F.explode(F.array(cell - 1, cell, cell + 1)))
+    r = rkeys.select(*rcols)
+    cond = [F.col(f"__fz_c{i}") == F.floor(F.col(rc) / tau) for i, rc in enumerate(rcols)]
+    return l.join(r, cond).select(*lcols, *rcols)
+
+
+def interval_bin_candidates(
+    lints: DataFrame,
+    rints: DataFrame,
+    lcols: tuple[str, str],
+    rcols: tuple[str, str],
+    maxgap: float,
+    bin_width: float,
+) -> DataFrame:
+    """Overlap-bin blocking for interval joins (replaces the reference's
+    interval tree, interval/real.rs:68-90): each interval maps to the bins
+    it covers; the probe (left) side is widened by maxgap + 1 so every pair
+    satisfying the gap predicate shares a bin. Equi-join on bin, distinct.
+    """
+    ls, le_ = lcols
+    rs, re_ = rcols
+    g = float(max(maxgap, 0)) + 1.0  # +1 covers integer-mode gap semantics
+    w = float(bin_width)
+    l = lints.select(ls, le_).withColumn(
+        "__fz_bin",
+        F.explode(
+            F.sequence(
+                F.floor((F.col(ls) - g) / w).cast("long"),
+                F.floor((F.col(le_) + g) / w).cast("long"),
+            )
+        ),
+    )
+    r = rints.select(rs, re_).withColumn(
+        "__fz_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(rs) / w).cast("long"),
+                F.floor(F.col(re_) / w).cast("long"),
+            )
+        ),
+    )
+    return l.join(r, "__fz_bin").select(ls, le_, rs, re_).distinct()
