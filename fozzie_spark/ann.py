@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine threshold/top-k: JVM-side dot products via
+  F.zip_with + F.aggregate — correct baseline, O(n*m) but fully
+  distributed and codegen'd; right answer for re-ranking and small probes.
+- LSH (random hyperplane) bucketing: the scale path — signature via one
+  vectorized NumPy matmul in a pandas UDF, candidates from equi-joins on
+  signature bands, exact cosine verification on candidates only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.9,
+    other: DataFrame | None = None,
+) -> DataFrame:
+    """All pairs (id1 < id2 for self-join) with cosine >= min_cosine.
+
+    Brute force: broadcast the smaller side when `other` is given; for the
+    self-join case Catalyst plans a BNLJ — use lsh_cosine_pairs at scale.
+    """
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    if other is None:
+        b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+        pairs = a.join(b, F.col("id1") < F.col("id2"))
+    else:
+        b = other.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+        pairs = a.crossJoin(b)
+    return (
+        pairs.withColumn("cosine", cosine_similarity_col(F.col("v1"), F.col("v2")))
+        .where(F.col("cosine") >= min_cosine)
+        .select("id1", "id2", "cosine")
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors per query (query_id, neighbor_id, cosine, rank).
+
+    Deterministic tie-break: (cosine desc, neighbor_id asc). Brute force —
+    broadcast `queries` when it is small.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, n_planes)).astype(np.float64)
+
+
+def lsh_signatures(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int = 16, seed: int = 13
+) -> DataFrame:
+    """(id, sig): sign pattern of `n_planes` random hyperplanes, computed
+    with one NumPy matmul per Arrow batch (vectorized pandas UDF)."""
+
+    dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(LongType())
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, n_planes)
+        out = np.zeros(len(vecs), dtype=np.int64)
+        for b in range(planes.shape[1]):
+            out |= bits[:, b].astype(np.int64) << b
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "sig", sig_udf(F.col("v"))
+    )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: hyperplane-LSH bucket join (equi-join
+    per signature band), then EXACT cosine verification of candidates.
+    Recall < 1 by design; tune n_planes/bands for the cosine threshold."""
+    sigs = lsh_signatures(df, id_col, vec_col, n_planes, seed)
+    r = max(1, n_planes // bands)
+    banded = sigs.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * r).bitwiseAND(F.lit((1 << r) - 1)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
+            F.col("a.v").alias("v1"), F.col("b.v").alias("v2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", cosine_similarity_col(F.col("v1"), F.col("v2")))
+        .where(F.col("cosine") >= min_cosine)
+        .select("id1", "id2", "cosine")
+    )

@@ -1,0 +1,114 @@
+"""Stage checkpointing with lineage + metrics + resume.
+
+The north rule requires every pipeline stage to checkpoint to a table with
+per-partition lineage and candidate/match-count metrics, so a killed job
+resumes mid-stage. On a real cluster the stage tables are Iceberg
+(`table_format="iceberg"` with a configured catalog); this sandbox has no
+Iceberg runtime jar, so the default is parquet + a JSON manifest that
+carries the same commit semantics (atomic via _SUCCESS + manifest write
+ordering: data first, manifest last; a stage with no manifest is re-run).
+
+Resume contract: a stage re-uses its materialized output iff its manifest
+exists and the recorded config hash matches the current one (config hash
+covers the stage name, params, and upstream stage hashes — a changed
+upstream invalidates everything downstream).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _hash_config(obj) -> str:
+    return hashlib.sha256(json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+class StageRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        run_config: dict | None = None,
+        table_format: str = "parquet",
+        resume: bool = True,
+        collect_metrics: bool = True,
+    ):
+        self.spark = spark
+        self.base_dir = base_dir.rstrip("/")
+        self.run_config = run_config or {}
+        self.table_format = table_format
+        self.resume = resume
+        self.collect_metrics = collect_metrics
+        self.manifests: dict[str, dict] = {}
+        os.makedirs(self.base_dir, exist_ok=True)
+
+    def _paths(self, name: str) -> tuple[str, str]:
+        return f"{self.base_dir}/{name}", f"{self.base_dir}/{name}.manifest.json"
+
+    def stage(
+        self,
+        name: str,
+        fn,
+        params: dict | None = None,
+        depends_on: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """Run (or resume) a named stage. `fn` returns the stage DataFrame."""
+        data_path, manifest_path = self._paths(name)
+        upstream = [self.manifests[d]["config_hash"] for d in depends_on if d in self.manifests]
+        cfg = {
+            "stage": name,
+            "params": params or {},
+            "run_config": self.run_config,
+            "upstream": upstream,
+            "format": self.table_format,
+        }
+        chash = _hash_config(cfg)
+
+        if self.resume and os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+            if manifest.get("config_hash") == chash:
+                self.manifests[name] = manifest
+                return self.spark.read.format(self.table_format).load(data_path)
+
+        t0 = time.time()
+        df = fn()
+        df.write.format(self.table_format).mode("overwrite").save(data_path)
+        out = self.spark.read.format(self.table_format).load(data_path)
+
+        metrics: dict = {}
+        if self.collect_metrics:
+            per_part = (
+                out.groupBy(F.spark_partition_id().alias("partition"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            )
+            metrics = {
+                "rows": int(sum(r["rows"] for r in per_part)),
+                "partitions": len(per_part),
+                "rows_per_partition": {str(r["partition"]): int(r["rows"]) for r in per_part},
+            }
+
+        manifest = {
+            "stage": name,
+            "config_hash": chash,
+            "config": cfg,
+            "wall_s": round(time.time() - t0, 3),
+            "metrics": metrics,
+            "path": data_path,
+            "depends_on": list(depends_on),
+        }
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, manifest_path)  # manifest last => commit point
+        self.manifests[name] = manifest
+        return out
+
+    def metric(self, stage: str, key: str):
+        return self.manifests.get(stage, {}).get("metrics", {}).get(key)

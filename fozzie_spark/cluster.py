@@ -1,0 +1,84 @@
+"""Transitive clustering: connected components over the thresholded edge
+DataFrame via alternating large-star / small-star rounds (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14).
+
+The reference emits match PAIRS only — clustering is the north-rule
+extension (SURVEY.md §2.7). Converges in O(log n) rounds; every round is
+two groupBy shuffles; lineage is cut per round with localCheckpoint so the
+plan doesn't grow unboundedly.
+
+Node ids must be orderable (long or string). Output: (node, component)
+where component = the minimum node id in the component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    row = edges.agg(
+        F.count(F.lit(1)),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")),
+    ).first()
+    return tuple(row)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    # undirected neighborhoods; connect strictly-larger neighbors to the min
+    nbrs = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient each edge (big -> small), group small neighbors under each node
+    e = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = e.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return nbr_edges.union(self_edges).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`.
+
+    Edges are undirected; self-loops ignored. Component id = min node id.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    all_nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
+
+    prev_fp = None
+    for i in range(max_iter):
+        e = _small_star(_large_star(e))
+        if checkpoint_every and i % checkpoint_every == 0:
+            e = e.localCheckpoint(eager=True)
+        fp = _fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # converged: star edges point big -> component min
+    assign = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        all_nodes.join(assign, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )

@@ -1,0 +1,113 @@
+"""spark-submit entry for the ER pipeline.
+
+    spark-submit --py-files fozzie_spark.zip -m ... fozzie_spark/job.py \
+        --synth-entities 100000 --checkpoint-dir /tmp/er_ckpt \
+        --method jaccard --max-distance 0.45 --q 3 --output /tmp/entities
+
+or with an existing corpus (parquet/iceberg table with doc_id + spans):
+
+    ... job.py --input /path/docs.parquet --checkpoint-dir ...
+
+Prints one JSON line with throughput metrics (candidate pairs scored/sec,
+docs/sec, per-stage wall seconds) — the bench harness consumes it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_session(app: str, cpus: str | None = None, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName(app)
+    if cpus:
+        b = b.master(f"local[{cpus}]")
+        # local mode: executors live in the driver JVM — size it accordingly
+        # (must be set before the JVM starts; no-op under spark-submit)
+        b = b.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    b = (
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+    )
+    return b.getOrCreate()
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="fozzie_spark ER pipeline")
+    p.add_argument("--input", help="parquet path with (doc_id, spans) docs")
+    p.add_argument("--synth-entities", type=int, help="generate a synthetic corpus instead")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--output", help="write final entities table here")
+    p.add_argument("--method", default="jaccard")
+    p.add_argument("--max-distance", type=float, default=0.45)
+    p.add_argument("--q", type=int, default=3)
+    p.add_argument("--max-gram-df", type=int, default=10_000)
+    p.add_argument("--salt-partitions", type=int)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--cpus", help="local[N] master override (omit under spark-submit)")
+    p.add_argument("--shuffle-partitions", type=int)
+    args = p.parse_args(argv)
+
+    from fozzie_spark.pipeline import er_pipeline
+    from fozzie_spark.synth import synth_documents
+
+    spark = build_session("fozzie-er", args.cpus, args.shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.synth_entities:
+        docs = synth_documents(spark, args.synth_entities, seed=args.seed)
+    elif args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        p.error("one of --input / --synth-entities is required")
+
+    t0 = time.time()
+    out = er_pipeline(
+        spark,
+        docs,
+        checkpoint_dir=args.checkpoint_dir,
+        method=args.method,
+        max_distance=args.max_distance,
+        q=args.q,
+        max_gram_df=args.max_gram_df,
+        salt_partitions=args.salt_partitions,
+        resume=not args.no_resume,
+    )
+    runner = out["runner"]
+    n_entities_rows = runner.metric("entities", "rows")
+    wall = time.time() - t0
+
+    if args.output:
+        out["entities"].write.mode("overwrite").parquet(args.output)
+
+    n_pairs = runner.metric("pairs", "rows") or 0
+    n_edges = runner.metric("edges", "rows") or 0
+    stage_wall = {s: m["wall_s"] for s, m in runner.manifests.items()}
+    score_wall = stage_wall.get("edges", 0.0) or 1e-9
+    result = {
+        "docs": runner.metric("keys", "rows"),
+        "candidate_pairs": n_pairs,
+        "edges": n_edges,
+        "entities_rows": n_entities_rows,
+        "wall_s": round(wall, 3),
+        "stage_wall_s": stage_wall,
+        "pairs_scored_per_sec": round(n_pairs / score_wall, 1),
+        "docs_per_sec": round((runner.metric("keys", "rows") or 0) / wall, 1),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,189 @@
+"""The north-rule 3-stage entity-resolution pipeline over interleaved
+text+media documents:
+
+    stage 1  keys      doc_id -> join key (ordered concat of text spans)
+    stage 2  blocking  q-gram inverted index (+ hot-gram capping, salted
+                       repartition) -> distinct candidate KEY pairs
+    stage 3  scoring   Arrow-batched pairwise distances, threshold -> edges
+    stage 4  cluster   large-star/small-star connected components
+    stage 5  assign    docs join key->entity; spans carried untouched
+
+Clustering runs in KEY space (distinct key values), so identical texts
+cluster for free and the edge graph is as small as possible; doc
+assignment is one equi-join at the end. Every stage checkpoints through
+StageRunner (lineage + metrics + resume).
+
+Scale levers (100 TB story):
+- all candidate generation is equi-join on generated block keys; no cross
+  joins anywhere
+- hot q-grams (power-law!) are capped by document frequency (`max_gram_df`)
+  BEFORE the pair join, bounding the worst block quadratic
+- the pair join is salted by repartition(salt_partitions) when requested
+- scoring touches only distinct key pairs (dedup-before-score)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fozzie_spark.blocking import qgrams_col
+from fozzie_spark.checkpoint import StageRunner
+from fozzie_spark.cluster import connected_components
+from fozzie_spark.scoring import string_distance_udf
+from fozzie_spark.synth import doc_text_key
+
+
+def er_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    checkpoint_dir: str,
+    method: str = "jaccard",
+    max_distance: float = 0.45,
+    q: int = 3,
+    max_gram_df: int | None = 10_000,
+    salt_partitions: int | None = None,
+    resume: bool = True,
+    table_format: str = "parquet",
+) -> dict[str, DataFrame]:
+    """Run the pipeline; returns dict of stage DataFrames
+    (keys, pairs, edges, clusters, entities)."""
+    params = {
+        "method": method,
+        "max_distance": max_distance,
+        "q": q,
+        "max_gram_df": max_gram_df,
+        "salt_partitions": salt_partitions,
+    }
+    runner = StageRunner(
+        spark, checkpoint_dir, run_config=params, resume=resume, table_format=table_format
+    )
+
+    # ---- stage 1: derive keys (pure projection — no shuffle) --------------
+    def _keys():
+        return docs.select("doc_id", doc_text_key("spans").alias("key"))
+
+    keys = runner.stage("keys", _keys, params={"q": q})
+
+    # ---- stage 2: blocking on distinct keys -------------------------------
+    def _pairs():
+        """Prefix-filtered q-gram inverted index (PPJoin-style, exact).
+
+        Hot q-grams are power-law distributed; a naive share-a-gram join is
+        quadratic in the hottest gram's document frequency. Prefix filtering
+        (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) is LOSSLESS for
+        Jaccard: order each key's distinct grams by global rarity; two keys
+        with jaccard_sim >= t = 1 - max_distance MUST share a gram within
+        their first (n - ceil(t*n) + 1) grams. Indexing only prefixes turns
+        the hot-gram quadratic into joins on the rarest grams.
+        `max_gram_df` remains as an (approximate) safety valve on top.
+        """
+        from pyspark.sql import Window
+
+        t = 1.0 - max_distance  # similarity threshold
+        uniq = keys.select("key").where(F.col("key").isNotNull()).distinct()
+        grams = uniq.select(
+            F.col("key"),
+            F.size(F.array_distinct(qgrams_col("key", q))).alias("n"),
+            F.explode(F.array_distinct(qgrams_col("key", q))).alias("g"),
+        )
+        gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        if max_gram_df:
+            gram_df = gram_df.where(F.col("df") <= max_gram_df)
+        grams = grams.join(gram_df, "g")  # inner: also drops capped grams
+        if method == "jaccard" and t > 0:
+            w = Window.partitionBy("key").orderBy(F.col("df").asc(), F.col("g").asc())
+            prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+            grams = (
+                grams.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= prefix_len)
+                .drop("rn")
+            )
+        grams = grams.select("key", "n", "g")
+        right = grams.select(F.col("key").alias("key2"), F.col("n").alias("n2"), "g")
+        if salt_partitions:
+            grams = grams.repartition(salt_partitions, "g")
+        cand = (
+            grams.join(right, "g")
+            .where(F.col("key") < F.col("key2"))
+            # size-bound prune: jaccard_sim >= t needs min/max >= t
+            .where(F.least("n", "n2") >= F.ceil(F.lit(t) * F.greatest("n", "n2")))
+            .select("key", "key2")
+            .distinct()
+        )
+        return cand
+
+    pairs = runner.stage("pairs", _pairs, params=params, depends_on=("keys",))
+
+    # ---- stage 3: vectorized scoring -> edges ------------------------------
+    def _edges():
+        udf = string_distance_udf(method, max_distance=max_distance, q=q)
+        return (
+            pairs.withColumn("dist", udf(F.col("key"), F.col("key2")))
+            .where(F.col("dist") <= max_distance)
+            .select("key", "key2", "dist")
+        )
+
+    edges = runner.stage("edges", _edges, params=params, depends_on=("pairs",))
+
+    # ---- stage 4: transitive clustering over keys --------------------------
+    def _clusters():
+        return connected_components(edges, src="key", dst="key2").select(
+            F.col("node").alias("key"), F.col("component").alias("entity_key")
+        )
+
+    clusters = runner.stage("clusters", _clusters, params=params, depends_on=("edges",))
+
+    # ---- stage 5: assign docs, carry spans byte-identical -------------------
+    def _entities():
+        assign = keys.join(clusters, "key", "left").select(
+            "doc_id", F.coalesce("entity_key", "key").alias("entity_key")
+        )
+        return (
+            docs.join(assign, "doc_id")
+            .withColumn("entity_id", F.xxhash64("entity_key"))
+            .drop("entity_key")
+        )
+
+    entities = runner.stage("entities", _entities, params=params, depends_on=("clusters", "keys"))
+
+    return {
+        "keys": keys,
+        "pairs": pairs,
+        "edges": edges,
+        "clusters": clusters,
+        "entities": entities,
+        "runner": runner,
+    }
+
+
+def pairwise_f1(entities: DataFrame, truth_col: str = "entity_id", pred_col: str = "pred") -> dict:
+    """Pairwise precision/recall/F1 of predicted vs true clusters.
+
+    Counts co-clustered pairs via sum-of-squares per cluster id — no pair
+    materialization, three aggregations total.
+    """
+
+    def pair_count(df, col):
+        return (
+            df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) / 2")))
+            .first()[0]
+            or 0
+        )
+
+    tp = pair_count(
+        entities.select(F.concat_ws("|", F.col(truth_col), F.col(pred_col)).alias("both")), "both"
+    )
+    true_pairs = pair_count(entities, truth_col)
+    pred_pairs = pair_count(entities, pred_col)
+    precision = tp / pred_pairs if pred_pairs else 1.0
+    recall = tp / true_pairs if true_pairs else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "true_pairs": int(true_pairs),
+        "pred_pairs": int(pred_pairs),
+        "tp": int(tp),
+    }

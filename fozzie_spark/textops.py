@@ -1,0 +1,348 @@
+"""Training-data pipeline operators over document tables.
+
+Everything here is built-in pyspark.sql.functions (JVM, whole-stage
+codegen) — no Python in the hot path. These are the large-scale corpus
+operations a 100 TB training-data pipeline needs on top of the reference's
+join surface: exact/near deduplication (MinHash-LSH, SimHash, n-gram
+Jaccard), language id, quality scoring, token counting, fingerprinting.
+
+Scale notes:
+- MinHash signatures are computed in ONE aggregation over exploded
+  shingles (k min-aggregates, map-side combined); LSH banding turns
+  near-dup search into equi-joins on (band_idx, band_hash) — no cross
+  join anywhere, hot bands can be salted like any blocking key.
+- SimHash reduces to 64 conditional sums in the same single aggregation
+  shape; near-dup = equi-join on 16-bit chunks (pigeonhole for hamming<=3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# --------------------------------------------------------------------------
+# tokenization / shingles (shared)
+# --------------------------------------------------------------------------
+
+
+def tokens_col(text_col: str):
+    """Whitespace tokens of trimmed text; empty text -> empty array."""
+    c = F.trim(F.col(text_col))
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(F.split(c, r"\s+"))
+
+
+def word_shingles_col(text_col: str, w: int):
+    """Array of w-word shingles (space-joined), [] when fewer than w tokens."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    return F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: F.array_join(F.slice(toks, i + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalize: bool = True) -> DataFrame:
+    """(id, dup_group, group_size, is_canonical): hash-groupBy exact dedup.
+
+    dup_group = md5 of (optionally normalized) text; canonical row = min id.
+    One shuffle (window over the group key).
+    """
+    from pyspark.sql import Window
+
+    key = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")) if normalize else F.col(text_col)
+    w = Window.partitionBy("dup_group")
+    return (
+        df.withColumn("dup_group", F.md5(key))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(w))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, blocked)
+# --------------------------------------------------------------------------
+
+
+def jaccard_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_w: int = 3,
+    max_distance: float = 0.5,
+) -> DataFrame:
+    """Exact word-shingle Jaccard near-dup pairs (id1 < id2, jaccard_dist).
+
+    Inverted-index blocking on shingles + size-bound prune, then exact
+    set-Jaccard computed JVM-side on the shingle arrays.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles_col(text_col, shingle_w)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    ex = base.select("id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), "g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .distinct()
+        .where(F.lit(1.0) - F.least("n1", "n2") / F.greatest("n1", "n2") <= max_distance)
+    )
+    a = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    b = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .withColumn("jaccard_dist", F.lit(1.0) - inter / union)
+        .where(F.col("jaccard_dist") <= max_distance)
+        .select("id1", "id2", "jaccard_dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, shingle_w: int = 3
+) -> DataFrame:
+    """(id, sig array<bigint>): k-permutation MinHash via xxhash64(shingle, seed).
+
+    One explode + one groupBy with k map-side-combining min() aggregates.
+    Docs with no shingles get no signature (dropped here).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles_col(text_col, shingle_w))).alias("g"),
+    )
+    aggs = [F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = ex.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int | None = None
+) -> DataFrame:
+    """Candidate pairs (id1 < id2) whose signatures collide in >= 1 band.
+
+    Equi-join on (band index, band hash); distinct. Tune bands/rows for the
+    target similarity threshold: P(collide) = 1-(1-s^r)^b.
+    """
+    k = None
+    first = sigs.select(F.size("sig")).first()
+    k = first[0] if first else 0
+    r = rows_per_band or max(1, k // bands)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"), F.xxhash64(F.slice("sig", b * r + 1, r).cast("string")).alias("bh")
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_w: int = 3,
+    max_distance: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified with EXACT shingle Jaccard (so output is
+    exact-over-candidates; recall depends on the band curve)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_w)
+    cand = minhash_lsh_pairs(sigs, bands)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles_col(text_col, shingle_w)).alias("sh"),
+    )
+    a = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
+    b = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .withColumn("jaccard_dist", F.lit(1.0) - inter / union)
+        .where(F.col("jaccard_dist") <= max_distance)
+        .select("id1", "id2", "jaccard_dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, shingle_w: int = 2) -> DataFrame:
+    """(id, simhash bigint): 64-bit SimHash over shingle xxhash64 values.
+
+    bit b of the result = 1 iff sum over shingles of sign(bit b of hash) > 0.
+    Single explode + groupBy with 64 conditional sums (JVM codegen).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles_col(text_col, shingle_w))).alias("g"),
+    ).select("id", F.xxhash64("g").alias("h"))
+    one = F.lit(1).cast("long")
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = ex.groupBy("id").agg(*aggs)
+    expr = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+        expr = bit if expr is None else expr.bitwiseXOR(bit)
+    return agg.select("id", expr.alias("simhash"))
+
+
+def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via the
+    pigeonhole band trick: split 64 bits into 4 16-bit chunks; any pair
+    within hamming 3 agrees on >= 1 chunk -> equi-join per chunk."""
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("c"),
+                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    pairs = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["c", "v"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# language id / quality / tokens / fingerprint
+# --------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que", "por", "para"],
+}
+
+
+def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic stopword-overlap language id (en/de/fr/es/unknown).
+
+    Pure JVM: tokenize, count per-language stopword hits, argmax; 'unknown'
+    when no stopword matched. A real pipeline swaps in fastText/CLD3 as a
+    pandas UDF — the plumbing (columnar score + argmax) stays identical.
+    """
+    toks = F.transform(tokens_col(text_col), lambda t: F.lower(t))
+    scored = df.withColumn("__toks", toks)
+    langs = sorted(_STOPWORDS)
+    for lang in langs:
+        sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+        scored = scored.withColumn(
+            f"__s_{lang}", F.size(F.filter(F.col("__toks"), lambda t: F.array_contains(sw, t)))
+        )
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in langs:  # ties resolve alphabetically (deterministic)
+        pred = pred.when(F.col(f"__s_{lang}") == best, F.lit(lang))
+    return scored.withColumn(out_col, pred).drop("__toks", *[f"__s_{lang}" for lang in langs])
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds n_chars_q, n_tokens, mean_token_len, punct_ratio, upper_ratio,
+    stopword_ratio, quality_score — all single-pass JVM expressions."""
+    toks = tokens_col(text_col)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(F.filter(F.transform(toks, lambda t: F.lower(t)), lambda t: F.array_contains(sw, t)))
+    punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    out = (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "mean_token_len",
+            F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0)),
+        )
+        .withColumn("punct_ratio", F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)))
+        .withColumn("upper_ratio", F.when(n_chars > 0, upper / n_chars).otherwise(F.lit(0.0)))
+        .withColumn("stopword_ratio", F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)))
+    )
+    score = (
+        F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 5000), 0.4).otherwise(0.0)
+        + F.when((F.col("mean_token_len") >= 3) & (F.col("mean_token_len") <= 12), 0.3).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.2).otherwise(0.0)
+        + F.when(F.col("upper_ratio") <= 0.3, 0.1).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", score)
+
+
+#: BPE-ish token pattern: word pieces, numbers, punctuation runs
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """ws_tokens (whitespace split) + bpe_tokens (regex pieces)."""
+    return df.withColumn("ws_tokens", F.size(tokens_col(text_col))).withColumn(
+        "bpe_tokens", F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_REGEX), 0))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: md5 of case/whitespace-normalized
+    text (cross-engine reproducible — DuckDB md5 matches)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(norm))

@@ -1,0 +1,139 @@
+"""Tests for the north-rule ER pipeline: synthetic corpus, connected
+components, pairwise F1 >= 0.99 vs ground truth, span-sequence invariant,
+and checkpoint/resume."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fozzie_spark.cluster import connected_components
+from fozzie_spark.pipeline import er_pipeline, pairwise_f1
+from fozzie_spark.synth import doc_text_key, make_doc, synth_documents
+
+
+# ---- connected components ---------------------------------------------------
+
+
+def test_cc_chain_and_islands(spark):
+    # chain 0-1-...-9 (worst case for label propagation), pair {100,101},
+    # isolated via self-edge-free node 200 appearing in an edge to itself is
+    # dropped; isolated nodes only appear if they have an edge
+    edges = [(i, i + 1) for i in range(9)] + [(100, 101), (300, 200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cc = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert all(cc[i] == 0 for i in range(10))
+    assert cc[100] == cc[101] == 100
+    assert cc[200] == cc[300] == 200
+
+
+def test_cc_string_nodes(spark):
+    df = spark.createDataFrame([("b", "a"), ("b", "c"), ("x", "y")], "src string, dst string")
+    cc = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == "a"
+    assert cc["x"] == cc["y"] == "x"
+
+
+# ---- synth determinism ------------------------------------------------------
+
+
+def test_synth_deterministic(spark):
+    a = synth_documents(spark, 20, seed=7).collect()
+    b = synth_documents(spark, 20, seed=7).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    ta = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in a}
+    tb = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in b}
+    assert ta == tb
+    # offsets ascending, media spans have empty text + a ref
+    for spans in ta.values():
+        offsets = [s[3] for s in spans]
+        assert offsets == sorted(offsets)
+        for kind, text, ref, _ in spans:
+            if kind != "text":
+                assert text == "" and ref.startswith("media://")
+
+    # deterministic irrespective of partitioning
+    c = synth_documents(spark, 20, seed=7, partitions=7).collect()
+    assert {r["doc_id"] for r in c} == set(ta)
+
+
+def test_doc_text_key_matches_local(spark):
+    docs = synth_documents(spark, 10, seed=3)
+    got = {r["doc_id"]: r["k"] for r in docs.select("doc_id", doc_text_key().alias("k")).collect()}
+    for did, key in got.items():
+        entity = int(did.split("-")[1])
+        variant = int(did.split("-")[2])
+        _, _, spans = make_doc(entity, variant, seed=3)
+        expected = " ".join(s["text"] for s in spans if s["kind"] == "text")
+        assert key == expected, did
+
+
+# ---- the full pipeline ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, tmp_path_factory):
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    docs = synth_documents(spark, 150, seed=42).cache()
+    out = er_pipeline(spark, docs, checkpoint_dir=ckpt, method="jaccard", max_distance=0.45, q=3)
+    return docs, out, ckpt
+
+
+def test_pipeline_f1(spark, pipe):
+    docs, out, _ = pipe
+    pred = out["entities"].select("doc_id", "entity_id")
+    truth = docs.select("doc_id", F.col("entity_id").alias("truth"))
+    joined = truth.join(pred, "doc_id").select(
+        F.col("truth").alias("entity_id"), F.col("entity_id").alias("pred")
+    )
+    m = pairwise_f1(joined.withColumnRenamed("pred", "predx").withColumnRenamed("entity_id", "t"),
+                    truth_col="t", pred_col="predx")
+    assert m["f1"] >= 0.99, m
+
+
+def test_pipeline_span_invariant(spark, pipe):
+    docs, out, _ = pipe
+    before = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in docs.collect()}
+    after = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in out["entities"].collect()}
+    assert before == after  # (kind, text, media_ref, offset) sequence, byte-identical
+
+
+def test_pipeline_checkpoints_and_resume(spark, pipe, tmp_path):
+    docs, out, ckpt = pipe
+    # all five stage manifests exist with metrics
+    for stage in ("keys", "pairs", "edges", "clusters", "entities"):
+        mp = os.path.join(ckpt, f"{stage}.manifest.json")
+        assert os.path.exists(mp), stage
+        with open(mp) as f:
+            m = json.load(f)
+        assert m["metrics"]["rows"] > 0
+        assert m["metrics"]["rows_per_partition"]
+
+    # resume: re-running with identical config must NOT rewrite stage data
+    mtimes = {
+        s: os.path.getmtime(os.path.join(ckpt, f"{s}.manifest.json"))
+        for s in ("keys", "pairs", "edges", "clusters", "entities")
+    }
+    out2 = er_pipeline(spark, docs, checkpoint_dir=ckpt, method="jaccard", max_distance=0.45, q=3)
+    assert out2["entities"].count() == out["entities"].count()
+    for s, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(ckpt, f"{s}.manifest.json")) == t, s
+
+    # changed config invalidates downstream stages
+    out3 = er_pipeline(spark, docs, checkpoint_dir=ckpt, method="jaccard", max_distance=0.35, q=3)
+    assert os.path.getmtime(os.path.join(ckpt, "edges.manifest.json")) > mtimes["edges"]
+
+
+def test_pipeline_identical_texts_cluster(spark, tmp_path):
+    rows = [
+        ("a", [{"kind": "text", "text": "hello world", "media_ref": None, "offset": 0}]),
+        ("b", [{"kind": "text", "text": "hello world", "media_ref": None, "offset": 0}]),
+        ("c", [{"kind": "text", "text": "completely different", "media_ref": None, "offset": 0}]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    out = er_pipeline(spark, docs, checkpoint_dir=str(tmp_path), max_distance=0.2, q=3)
+    ent = {r["doc_id"]: r["entity_id"] for r in out["entities"].collect()}
+    assert ent["a"] == ent["b"] != ent["c"]
