@@ -1,38 +1,659 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship fuzzy self-join on sf0.001.
+`queries()` exposes one callable per implemented operator (SURVEY.md §2 +
+the training-data ops); `oracle_sql()` gives the DuckDB-equivalent SQL on
+the pre-registered views (region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Conventions keeping the value-hash comparison stable across engines:
+- every computed column is aliased identically on both sides
+- float distances are rounded to 6 decimals on both sides AFTER filtering
+- counts/sizes are cast to BIGINT on both sides
+- thresholds with float-sensitive boundaries filter on the ROUNDED value
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+F64_EPS = 2.220446049250313e-16
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+
+
+_NAMES_SQL = "(SELECT DISTINCT p_name AS name FROM part)"
+
+
+def _string_join(spark, sf_dir, method, tau, q=2, run_tau=None):
+    from fozzie_spark import fuzzy_string_join
+
+    names = _part_names(spark, sf_dir)
+    out = fuzzy_string_join(
+        names,
+        names,
+        by="name",
+        method=method,
+        how="inner",
+        max_distance=run_tau or tau,
+        q=q,
+        distance_col="dist",
+        suffixes=("_x", "_y"),
+    )
+    return (
+        out.where(F.col("name_x") <= F.col("name_y"))
+        .where(F.round("dist", 6) <= tau)
+        .select(
+            "name_x", "name_y",
+            F.round(F.greatest("dist", F.lit(0.0)), 6).alias("dist"),  # clamp -0.0
+        )
+    )
+
+
+# 2-gram list for a DuckDB string expression
+def _grams_sql(col, q=2):
+    return (
+        f"CASE WHEN length({col}) >= {q} THEN "
+        f"list_transform(range(1, length({col}) - {q} + 2), i -> substr({col}, i, {q})) "
+        f"ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fuzzy Levenshtein self-join of part names on sf0.001."""
+    return _string_join(spark, "/root/testdata/sf0.001", "lv", 1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fozzie_spark import (
+        difference_join,
+        distance_join,
+        fuzzy_string_join,
+        interval_join,
+        regex_join,
+        temporal_join,
+    )
+    from fozzie_spark import ann, textops
+    from fozzie_spark.cluster import connected_components
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable] = {}
+
+    # ---- string join family (distinct part names, self-join) -------------
+    q["string_lv_inner"] = lambda s, d: _string_join(s, d, "lv", 1)
+    q["string_osa_inner"] = lambda s, d: _string_join(s, d, "osa", 1)
+    q["string_dl_inner"] = lambda s, d: _string_join(s, d, "dl", 1)
+    q["string_hamming_inner"] = lambda s, d: _string_join(s, d, "hamming", 2)
+    q["string_lcs_inner"] = lambda s, d: _string_join(s, d, "lcs", 1)
+    q["string_jaccard_inner"] = lambda s, d: _string_join(s, d, "jaccard", 0.4, q=2)
+    q["string_qgram_inner"] = lambda s, d: _string_join(s, d, "qgram", 2, q=2)
+    q["string_cosine_inner"] = lambda s, d: _string_join(s, d, "cosine", 0.6, q=2)
+    q["string_jw_inner"] = lambda s, d: _string_join(s, d, "jw", 0.25, run_tau=0.2501)
+    q["string_soundex_inner"] = lambda s, d: (  # rows-only (NA-dual soundex has no SQL analog)
+        fuzzy_string_join(
+            _part_names(s, d), _part_names(s, d), by="name", method="soundex",
+            how="inner", suffixes=("_x", "_y"),
+        ).where(F.col("name_x") <= F.col("name_y")).select("name_x", "name_y")
+    )
+
+    # ---- join modes (lv tau=1) -------------------------------------------
+    def _lv_mode(s, d, how):
+        out = fuzzy_string_join(
+            _part_names(s, d), _part_names(s, d), by="name", method="lv",
+            how=how, max_distance=1, distance_col="dist", suffixes=("_x", "_y"),
+        )
+        if how in ("semi", "anti"):
+            return out.select("name")
+        return out.select("name_x", "name_y", F.round("dist", 6).alias("dist"))
+
+    q["string_lv_left"] = lambda s, d: _lv_mode(s, d, "left")
+    q["string_lv_full"] = lambda s, d: _lv_mode(s, d, "full")
+    q["string_lv_semi"] = lambda s, d: _lv_mode(s, d, "semi")
+    q["string_lv_anti"] = lambda s, d: _lv_mode(s, d, "anti")
+
+    # ---- difference / temporal -------------------------------------------
+    def _diff(s, d):
+        cust = s.read.parquet(f"{d}/customer.parquet")
+        supp = s.read.parquet(f"{d}/supplier.parquet")
+        out = difference_join(
+            cust, supp, by={"c_acctbal": "s_acctbal"}, max_distance=0.5, distance_col="dist"
+        )
+        return out.select(
+            "c_custkey", "s_suppkey", F.round("dist", 6).alias("dist")
+        )
+
+    q["difference_inner"] = _diff
+
+    def _diff_left(s, d):
+        cust = s.read.parquet(f"{d}/customer.parquet").select("c_custkey", "c_acctbal")
+        supp = s.read.parquet(f"{d}/supplier.parquet").select("s_suppkey", "s_acctbal")
+        out = difference_join(
+            cust, supp, by={"c_acctbal": "s_acctbal"}, how="left", max_distance=0.5,
+            distance_col="dist",
+        )
+        return out.select("c_custkey", "s_suppkey", F.round("dist", 6).alias("dist"))
+
+    q["difference_left"] = _diff_left
+
+    def _temporal(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet").where(F.col("event_type") == "error")
+        out = temporal_join(
+            ev.select("event_id", "ts"),
+            ev.select(F.col("event_id").alias("event_id2"), "ts"),
+            by="ts", max_distance=600, unit="seconds", distance_col="dist",
+        )
+        return out.where(F.col("event_id") < F.col("event_id2")).select(
+            "event_id", "event_id2", F.round("dist", 6).alias("dist")
+        )
+
+    q["temporal_inner"] = _temporal
+
+    # ---- k-D distance join -------------------------------------------------
+    def _dist(s, d):
+        li = (
+            s.read.parquet(f"{d}/lineitem.parquet")
+            .select(F.col("l_discount").alias("disc"), F.col("l_tax").alias("tax"))
+            .distinct()
+        )
+        out = distance_join(
+            li, li, by=["disc", "tax"], method="euclidean", max_distance=0.02,
+            distance_col="dist", suffixes=("_x", "_y"),
+        )
+        return out.select(
+            "disc_x", "tax_x", "disc_y", "tax_y", F.round("dist", 6).alias("dist")
+        )
+
+    q["distance_inner"] = _dist
+
+    # ---- interval joins -----------------------------------------------------
+    def _interval_real(s, d):
+        o = (
+            s.read.parquet(f"{d}/orders.parquet")
+            .where(F.col("o_orderkey") % 100 == 0)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("s"),
+                (F.col("o_totalprice") + 20000.0).alias("e"),
+            )
+        )
+        out = interval_join(
+            o, o, by={"s": "s", "e": "e"}, interval_mode="real", suffixes=("_x", "_y")
+        )
+        return out.select("k_x", "k_y")
+
+    q["interval_real_inner"] = _interval_real
+
+    def _interval_integer(s, d):
+        p = (
+            s.read.parquet(f"{d}/part.parquet")
+            .select(F.col("p_size").alias("s"), (F.col("p_size") + 2).alias("e"))
+            .distinct()
+        )
+        out = interval_join(
+            p, p, by={"s": "s", "e": "e"}, interval_mode="integer", maxgap=0,
+            suffixes=("_x", "_y"),
+        )
+        return out.select("s_x", "e_x", "s_y", "e_y")
+
+    q["interval_integer_inner"] = _interval_integer
+
+    def _interval_within(s, d):
+        o = (
+            s.read.parquet(f"{d}/orders.parquet")
+            .where(F.col("o_orderkey") % 100 == 0)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("s"),
+                (F.col("o_totalprice") + 20000.0).alias("e"),
+            )
+        )
+        out = interval_join(
+            o, o, by={"s": "s", "e": "e"}, interval_mode="real",
+            overlap_type="within", suffixes=("_x", "_y"),
+        )
+        return out.select("k_x", "k_y")
+
+    q["interval_within_inner"] = _interval_within
+
+    # ---- regex join ----------------------------------------------------------
+    def _regex(s, d):
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "text")
+        pats = s.createDataFrame(
+            [("^key",), ("value$",), ("spark",), ("agg.*sort",)], "pattern string"
+        )
+        out = regex_join(docs, pats, by={"text": "pattern"})
+        return out.select("doc_id", "pattern")
+
+    q["regex_inner"] = _regex
+
+    # ---- training-data ops over documents -------------------------------------
+    def _docs(s, d):
+        return s.read.parquet(f"{d}/documents.parquet")
+
+    q["exact_dedup"] = lambda s, d: textops.exact_dedup(_docs(s, d), "doc_id", "text").select(
+        "doc_id", "dup_group", F.col("group_size").cast("bigint").alias("group_size"), "is_canonical"
+    )
+
+    q["jaccard_dedup"] = lambda s, d: textops.jaccard_dedup_pairs(
+        _docs(s, d), "doc_id", "text", shingle_w=3, max_distance=0.6
+    ).select("id1", "id2", F.round("jaccard_dist", 6).alias("dist"))
+
+    q["minhash_dedup"] = lambda s, d: textops.minhash_dedup_pairs(
+        _docs(s, d), "doc_id", "text", num_hashes=64, bands=16, shingle_w=3, max_distance=0.6
+    ).select("id1", "id2", F.round("jaccard_dist", 6).alias("dist"))
+
+    q["simhash_pairs"] = lambda s, d: textops.simhash_near_pairs(  # rows-only (xxhash64)
+        textops.simhash(_docs(s, d), "doc_id", "text", shingle_w=2), max_hamming=8
+    ).select("id1", "id2", F.col("hamming").cast("bigint").alias("hamming"))
+
+    q["token_counts"] = lambda s, d: textops.token_counts(_docs(s, d), "text").select(
+        "doc_id",
+        F.col("ws_tokens").cast("bigint").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("bigint").alias("bpe_tokens"),
+    )
+
+    q["quality"] = lambda s, d: textops.quality_features(_docs(s, d), "text").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+    q["language_id"] = lambda s, d: textops.language_id(_docs(s, d), "text").select(
+        "doc_id", "lang_pred"
+    )
+
+    q["fingerprint"] = lambda s, d: textops.fingerprint(_docs(s, d), "text").select(
+        "doc_id", "fingerprint"
+    )
+
+    # ---- connected components (over jaccard dedup edges) -----------------------
+    def _cc(s, d):
+        edges = textops.jaccard_dedup_pairs(_docs(s, d), "doc_id", "text", 3, 0.6)
+        return connected_components(edges, "id1", "id2").select("node", "component")
+
+    q["connected_components"] = _cc
+
+    # ---- embeddings: similarity search -----------------------------------------
+    def _emb(s, d):
+        return s.read.parquet(f"{d}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+
+    q["cosine_pairs"] = lambda s, d: (
+        ann.cosine_pairs(_emb(s, d), "vec_id", "embedding", min_cosine=0.4)
+        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+    )
+
+    def _topk(s, d):
+        emb = _emb(s, d)
+        probes = emb.where(F.col("vec_id") < 20)
+        return ann.cosine_topk(probes, emb, "vec_id", "embedding", k=3).select(
+            "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+        )
+
+    q["cosine_topk"] = _topk
+
+    q["lsh_cosine_pairs"] = lambda s, d: (  # rows-only (approximate by design)
+        ann.lsh_cosine_pairs(_emb(s, d), "vec_id", "embedding", min_cosine=0.4,
+                             n_planes=16, bands=8)
+        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+    )
+
+    # ---- ER pipeline (rows-only: multi-stage, non-SQL) --------------------------
+    def _er(s, d):
+        import tempfile
+
+        from fozzie_spark.pipeline import er_pipeline
+        from fozzie_spark.synth import synth_documents
+
+        docs = synth_documents(s, 300, seed=42)
+        out = er_pipeline(
+            s, docs, checkpoint_dir=tempfile.mkdtemp(prefix="fz_er_"), resume=False
+        )
+        return out["entities"].select("doc_id", "entity_id")
+
+    q["er_entities"] = _er
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+    N = _NAMES_SQL
+
+    o["string_lv_inner"] = f"""
+        SELECT a.name AS name_x, b.name AS name_y,
+               round(CAST(levenshtein(a.name, b.name) AS DOUBLE), 6) AS dist
+        FROM {N} a, {N} b
+        WHERE a.name <= b.name AND levenshtein(a.name, b.name) <= 1
     """
-    return {}
+    # OSA == full DL at tau=1 (they first diverge at distance >= 2)
+    o["string_osa_inner"] = f"""
+        SELECT a.name AS name_x, b.name AS name_y,
+               round(CAST(damerau_levenshtein(a.name, b.name) AS DOUBLE), 6) AS dist
+        FROM {N} a, {N} b
+        WHERE a.name <= b.name AND damerau_levenshtein(a.name, b.name) <= 1
+    """
+    o["string_dl_inner"] = o["string_osa_inner"]
+    o["string_hamming_inner"] = f"""
+        WITH p AS (
+          SELECT a.name AS name_x, b.name AS name_y,
+                 CASE WHEN length(a.name) = length(b.name)
+                      THEN hamming(a.name, b.name) END AS d
+          FROM {N} a, {N} b WHERE a.name <= b.name
+        )
+        SELECT name_x, name_y, round(CAST(d AS DOUBLE), 6) AS dist
+        FROM p WHERE d <= 2
+    """
+    # lcs_dist <= 1 iff equal (0) or |len diff| = 1 and lv = 1 (one indel)
+    o["string_lcs_inner"] = f"""
+        WITH p AS (
+          SELECT a.name AS name_x, b.name AS name_y,
+                 CASE WHEN a.name = b.name THEN 0
+                      WHEN abs(length(a.name) - length(b.name)) = 1
+                           AND levenshtein(a.name, b.name) = 1 THEN 1 END AS d
+          FROM {N} a, {N} b WHERE a.name <= b.name
+        )
+        SELECT name_x, name_y, round(CAST(d AS DOUBLE), 6) AS dist
+        FROM p WHERE d <= 1
+    """
+    ga, gb = _grams_sql("a.name"), _grams_sql("b.name")
+    o["string_jaccard_inner"] = f"""
+        WITH g AS (SELECT name, list_distinct({_grams_sql('name')}) AS gs FROM {N}),
+        p AS (
+          SELECT a.name AS name_x, b.name AS name_y,
+                 CASE WHEN len(a.gs) = 0 AND len(b.gs) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                               / len(list_distinct(list_concat(a.gs, b.gs))) END AS d
+          FROM g a, g b WHERE a.name <= b.name
+        )
+        SELECT name_x, name_y, round(d, 6) AS dist FROM p WHERE d <= 0.4
+    """
+    o["string_qgram_inner"] = f"""
+        WITH p AS (
+          SELECT a.name AS name_x, b.name AS name_y,
+                 coalesce(list_sum(list_transform(
+                     list_distinct(list_concat({ga}, {gb})),
+                     u -> abs(len(list_filter({ga}, x -> x = u))
+                            - len(list_filter({gb}, x -> x = u))))), 0) AS d
+          FROM {N} a, {N} b WHERE a.name <= b.name
+        )
+        SELECT name_x, name_y, round(CAST(d AS DOUBLE), 6) AS dist FROM p WHERE d <= 2
+    """
+    o["string_cosine_inner"] = f"""
+        WITH p AS (
+          SELECT a.name AS name_x, b.name AS name_y,
+                 CASE WHEN len({ga}) = 0 OR len({gb}) = 0 THEN 1.0
+                      ELSE 1.0 - CAST(coalesce(list_sum(list_transform(
+                               list_distinct(list_concat({ga}, {gb})),
+                               u -> len(list_filter({ga}, x -> x = u))
+                                  * len(list_filter({gb}, x -> x = u)))), 0) AS DOUBLE)
+                        / (sqrt(CAST(list_sum(list_transform(list_distinct({ga}),
+                               u -> len(list_filter({ga}, x -> x = u))
+                                  * len(list_filter({ga}, x -> x = u)))) AS DOUBLE))
+                         * sqrt(CAST(list_sum(list_transform(list_distinct({gb}),
+                               u -> len(list_filter({gb}, x -> x = u))
+                                  * len(list_filter({gb}, x -> x = u)))) AS DOUBLE)))
+                 END AS d
+          FROM {N} a, {N} b WHERE a.name <= b.name
+        )
+        SELECT name_x, name_y, round(greatest(d, 0.0), 6) AS dist FROM p WHERE d <= 0.6
+    """
+    o["string_jw_inner"] = f"""
+        WITH p AS (
+          SELECT a.name AS name_x, b.name AS name_y,
+                 round(1.0 - jaro_similarity(a.name, b.name), 6) AS dist
+          FROM {N} a, {N} b WHERE a.name <= b.name
+        )
+        SELECT name_x, name_y, dist FROM p WHERE dist <= 0.25
+    """
+
+    o["string_lv_left"] = f"""
+        SELECT a.name AS name_x, b.name AS name_y,
+               round(CAST(CASE WHEN b.name IS NULL THEN NULL
+                    ELSE levenshtein(a.name, b.name) END AS DOUBLE), 6) AS dist
+        FROM {N} a LEFT JOIN {N} b ON levenshtein(a.name, b.name) <= 1
+    """
+    o["string_lv_full"] = f"""
+        SELECT a.name AS name_x, b.name AS name_y,
+               round(CAST(CASE WHEN a.name IS NULL OR b.name IS NULL THEN NULL
+                    ELSE levenshtein(a.name, b.name) END AS DOUBLE), 6) AS dist
+        FROM {N} a FULL JOIN {N} b ON levenshtein(a.name, b.name) <= 1
+    """
+    o["string_lv_semi"] = f"""
+        SELECT a.name FROM {N} a
+        WHERE EXISTS (SELECT 1 FROM {N} b WHERE levenshtein(a.name, b.name) <= 1)
+    """
+    o["string_lv_anti"] = f"""
+        SELECT a.name FROM {N} a
+        WHERE NOT EXISTS (SELECT 1 FROM {N} b WHERE levenshtein(a.name, b.name) <= 1)
+    """
+
+    eps = F64_EPS
+    o["difference_inner"] = f"""
+        SELECT c.c_custkey, s.s_suppkey,
+               round(abs(c.c_acctbal - s.s_acctbal), 6) AS dist
+        FROM customer c, supplier s
+        WHERE abs(c.c_acctbal - s.s_acctbal) <= 0.5 + {eps}
+    """
+    o["difference_left"] = f"""
+        SELECT c.c_custkey, s.s_suppkey,
+               round(abs(c.c_acctbal - s.s_acctbal), 6) AS dist
+        FROM customer c LEFT JOIN supplier s
+          ON abs(c.c_acctbal - s.s_acctbal) <= 0.5 + {eps}
+    """
+    o["temporal_inner"] = f"""
+        SELECT a.event_id, b.event_id AS event_id2,
+               round(abs(epoch(a.ts) - epoch(b.ts)), 6) AS dist
+        FROM events a, events b
+        WHERE a.event_type = 'error' AND b.event_type = 'error'
+          AND a.event_id < b.event_id
+          AND abs(epoch(a.ts) - epoch(b.ts)) <= 600 + {eps}
+    """
+    o["distance_inner"] = """
+        WITH t AS (SELECT DISTINCT l_discount AS disc, l_tax AS tax FROM lineitem)
+        SELECT a.disc AS disc_x, a.tax AS tax_x, b.disc AS disc_y, b.tax AS tax_y,
+               round(sqrt((a.disc - b.disc) * (a.disc - b.disc)
+                        + (a.tax - b.tax) * (a.tax - b.tax)), 6) AS dist
+        FROM t a, t b
+        WHERE sqrt((a.disc - b.disc) * (a.disc - b.disc)
+                 + (a.tax - b.tax) * (a.tax - b.tax)) <= 0.02
+    """
+    o["interval_real_inner"] = """
+        WITH t AS (SELECT o_orderkey AS k, o_totalprice AS s, o_totalprice + 20000.0 AS e
+                   FROM orders WHERE o_orderkey % 100 = 0)
+        SELECT a.k AS k_x, b.k AS k_y
+        FROM t a, t b WHERE a.s <= b.e AND b.s <= a.e
+    """
+    o["interval_integer_inner"] = """
+        WITH t AS (SELECT DISTINCT p_size AS s, p_size + 2 AS e FROM part)
+        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y
+        FROM t a, t b WHERE b.s <= a.e + 1 AND a.s <= b.e + 1
+    """
+    o["interval_within_inner"] = """
+        WITH t AS (SELECT o_orderkey AS k, o_totalprice AS s, o_totalprice + 20000.0 AS e
+                   FROM orders WHERE o_orderkey % 100 = 0)
+        SELECT a.k AS k_x, b.k AS k_y
+        FROM t a, t b
+        WHERE a.s <= b.e AND b.s <= a.e AND a.s >= b.s AND a.e <= b.e
+    """
+    o["regex_inner"] = """
+        SELECT d.doc_id, p.pattern
+        FROM documents d,
+             (VALUES ('^key'), ('value$'), ('spark'), ('agg.*sort')) p(pattern)
+        WHERE regexp_matches(d.text, p.pattern)
+    """
+    o["exact_dedup"] = r"""
+        WITH g AS (
+          SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS dup_group
+          FROM documents
+        )
+        SELECT doc_id, dup_group,
+               CAST(count(*) OVER (PARTITION BY dup_group) AS BIGINT) AS group_size,
+               doc_id = min(doc_id) OVER (PARTITION BY dup_group) AS is_canonical
+        FROM g
+    """
+    _SH = r"""
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+                 i -> array_to_string(string_split_regex(trim(text), '\s+')[i:i+2], ' ')
+               )) AS sh
+        FROM documents WHERE len(trim(text)) > 0
+    """
+    o["jaccard_dedup"] = f"""
+        WITH s AS ({_SH}),
+        p AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 1.0 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS d
+          FROM s a, s b
+          WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+        )
+        SELECT id1, id2, round(d, 6) AS dist FROM p WHERE d <= 0.6
+    """
+    # minhash LSH with 16 bands x 4 rows has recall ~1 at sim >= 0.4; on this
+    # corpus all true pairs sit at dist <= 0.1, so the exact-jaccard oracle holds
+    o["minhash_dedup"] = o["jaccard_dedup"]
+    o["token_counts"] = r"""
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+                   AS bpe_tokens
+        FROM documents
+    """
+    o["quality"] = r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 length(text) AS nc,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+')) END AS nt,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE list_transform(string_split_regex(trim(text), '\s+'),
+                                          x -> lower(x)) END AS toks,
+                 length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS np,
+                 length(regexp_replace(text, '[^A-Z]', '', 'g')) AS nu
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, nt,
+                 CASE WHEN nt > 0 THEN CAST(nc - (nt - 1) AS DOUBLE) / nt ELSE 0.0 END AS mtl,
+                 CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc ELSE 0.0 END AS pr,
+                 CASE WHEN nc > 0 THEN CAST(nu AS DOUBLE) / nc ELSE 0.0 END AS ur,
+                 CASE WHEN nt > 0 THEN CAST(len(list_filter(toks,
+                      x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+                      AS DOUBLE) / nt ELSE 0.0 END AS sr
+          FROM t
+        )
+        SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+               CAST(round(mtl, 6) AS DOUBLE) AS mean_token_len,
+               CAST(round(pr, 6) AS DOUBLE) AS punct_ratio,
+               CAST(round(sr, 6) AS DOUBLE) AS stopword_ratio,
+               CAST(round(CASE WHEN nt BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN mtl BETWEEN 3 AND 12 THEN 0.3 ELSE 0.0 END
+                   + CASE WHEN pr <= 0.2 THEN 0.2 ELSE 0.0 END
+                   + CASE WHEN ur <= 0.3 THEN 0.1 ELSE 0.0 END, 6) AS DOUBLE) AS quality_score
+        FROM f
+    """
+    o["language_id"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN []
+                      ELSE list_transform(string_split_regex(trim(text), '\s+'),
+                                          x -> lower(x)) END AS toks
+          FROM documents
+        ),
+        sc AS (
+          SELECT doc_id,
+            len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS s_de,
+            len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS s_en,
+            len(list_filter(toks, x -> list_contains(['el','la','los','y','es','un','una','que','por','para'], x))) AS s_es,
+            len(list_filter(toks, x -> list_contains(['le','la','les','et','est','un','une','que','pour','dans'], x))) AS s_fr
+          FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'unknown'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM sc
+    """
+    o["fingerprint"] = r"""
+        SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """
+    o["connected_components"] = f"""
+        WITH RECURSIVE e AS (
+          SELECT id1 AS a, id2 AS b FROM (
+            WITH s AS ({_SH}),
+            p AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2,
+                     1.0 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))) AS d
+              FROM s a, s b
+              WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+            ) SELECT id1, id2 FROM p WHERE d <= 0.6
+          )
+        ),
+        und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        nodes AS (SELECT DISTINCT a AS n FROM und)
+        SELECT n AS node, least(n, min(r.b)) AS component
+        FROM nodes LEFT JOIN reach r ON r.a = n
+        GROUP BY n
+    """
+    o["cosine_pairs"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 list_cosine_similarity(a.v, b.v) AS c
+          FROM e a, e b WHERE a.vec_id < b.vec_id
+        )
+        SELECT id1, id2, round(c, 6) AS cosine FROM p WHERE c >= 0.4
+    """
+    o["cosine_topk"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.v, c.v) AS cos
+          FROM e q, e c WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+        ),
+        r AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+    """
+    return o

@@ -254,7 +254,12 @@ def _temporal_to_numeric(df: DataFrame, col: str, tmp: str) -> tuple[DataFrame, 
     if dt == "date":
         return df.withColumn(tmp, F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")), "date"
     if dt.startswith("timestamp"):
-        return df.withColumn(tmp, F.col(col).cast("double")), "timestamp"
+        # TIMESTAMP_NTZ cannot cast to double directly; route via ltz
+        # (deterministic under an explicitly-set session time zone)
+        return (
+            df.withColumn(tmp, F.col(col).cast("timestamp_ltz").cast("double")),
+            "timestamp",
+        )
     raise TypeError(f"column {col!r} must be date or timestamp, got {dt}")
 
 
