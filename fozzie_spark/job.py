@@ -50,8 +50,8 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--output", help="write final entities table here")
     p.add_argument("--method", default="jaccard")
-    p.add_argument("--max-distance", type=float, default=0.45)
-    p.add_argument("--q", type=int, default=3)
+    p.add_argument("--max-distance", type=float, default=0.6)
+    p.add_argument("--q", type=int, default=4)
     p.add_argument("--max-gram-df", type=int, default=10_000)
     p.add_argument("--salt-partitions", type=int)
     p.add_argument("--no-resume", action="store_true")
@@ -94,7 +94,9 @@ def main(argv=None) -> int:
     n_pairs = runner.metric("pairs", "rows") or 0
     n_edges = runner.metric("edges", "rows") or 0
     stage_wall = {s: m["wall_s"] for s, m in runner.manifests.items()}
-    score_wall = stage_wall.get("edges", 0.0) or 1e-9
+    # pairs/sec counts every candidate evaluated: the JVM refine stage (when
+    # present) + the Arrow scoring stage both process the raw candidates
+    score_wall = (stage_wall.get("refine", 0.0) + stage_wall.get("edges", 0.0)) or 1e-9
     result = {
         "docs": runner.metric("keys", "rows"),
         "candidate_pairs": n_pairs,

@@ -126,6 +126,10 @@ def fuzzy_string_join(
     lkeys, rkeys = _key_frames(left, right, by_pairs)
     l0 = lkeys.select("__fz_l0").distinct()
     r0 = rkeys.select("__fz_r0").distinct()
+    # the candidate builders reference the distinct-key frames several times
+    # (length band + gram paths, expansion); persist so the scan+distinct
+    # isn't recomputed per branch (6 parquet scans observed otherwise)
+    l0, r0 = l0.persist(), r0.persist()
 
     if method in EDIT_METHODS:
         cand = blocking.edit_candidates(

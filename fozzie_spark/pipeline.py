@@ -38,8 +38,8 @@ def er_pipeline(
     docs: DataFrame,
     checkpoint_dir: str,
     method: str = "jaccard",
-    max_distance: float = 0.45,
-    q: int = 3,
+    max_distance: float = 0.6,
+    q: int = 4,
     max_gram_df: int | None = 10_000,
     salt_partitions: int | None = None,
     resume: bool = True,
@@ -114,16 +114,51 @@ def er_pipeline(
 
     pairs = runner.stage("pairs", _pairs, params=params, depends_on=("keys",))
 
+    # ---- stage 2b: JVM exact refine (profile methods only) -----------------
+    # For jaccard the distance is computable entirely JVM-side from the gram
+    # arrays (array_intersect — whole-stage codegen, no Python, no Arrow
+    # transfer of the candidate strings). This is the cheap exact kill for
+    # the "shared one rare word" candidate mass; the Arrow scorer then only
+    # touches true near-duplicates. Lossless: same distance definition.
+    if method == "jaccard":
+
+        def _refine():
+            sets_df = (
+                keys.select("key")
+                .where(F.col("key").isNotNull())
+                .distinct()
+                .select("key", F.array_distinct(qgrams_col("key", q)).alias("gs"))
+            )
+            a = sets_df.select(F.col("key"), F.col("gs").alias("gs1"))
+            b = sets_df.select(F.col("key").alias("key2"), F.col("gs").alias("gs2"))
+            inter = F.size(F.array_intersect("gs1", "gs2"))
+            union = F.size("gs1") + F.size("gs2") - inter
+            jd = F.when(
+                (F.size("gs1") == 0) & (F.size("gs2") == 0), F.lit(0.0)
+            ).otherwise(F.lit(1.0) - inter / union)
+            return (
+                pairs.join(a, "key")
+                .join(b, "key2")
+                .where(jd <= max_distance)
+                .select("key", "key2")
+            )
+
+        scored_input = runner.stage("refine", _refine, params=params, depends_on=("pairs",))
+        refine_dep = ("refine",)
+    else:
+        scored_input = pairs
+        refine_dep = ("pairs",)
+
     # ---- stage 3: vectorized scoring -> edges ------------------------------
     def _edges():
         udf = string_distance_udf(method, max_distance=max_distance, q=q)
         return (
-            pairs.withColumn("dist", udf(F.col("key"), F.col("key2")))
+            scored_input.withColumn("dist", udf(F.col("key"), F.col("key2")))
             .where(F.col("dist") <= max_distance)
             .select("key", "key2", "dist")
         )
 
-    edges = runner.stage("edges", _edges, params=params, depends_on=("pairs",))
+    edges = runner.stage("edges", _edges, params=params, depends_on=refine_dep)
 
     # ---- stage 4: transitive clustering over keys --------------------------
     def _clusters():

@@ -22,7 +22,11 @@ def string_distance_udf(method: str, **params):
         )
         return pd.Series(arr)
 
-    return F.pandas_udf(_score, DoubleType())
+    # asNondeterministic stops Catalyst from collapsing the scoring
+    # projection into the threshold filter, which would EVALUATE THE UDF
+    # TWICE per row (observed as stacked ArrowEvalPython nodes). Scoring is
+    # pure, but single evaluation matters more than expression reuse here.
+    return F.pandas_udf(_score, DoubleType()).asNondeterministic()
 
 
 def score_string_pairs(

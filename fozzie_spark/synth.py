@@ -36,21 +36,27 @@ _ALPHABET = "abcdefghijklmnopqrstuvwxyz"
 #: procedural vocabulary — a realistic corpus has a LARGE vocabulary (and
 #: therefore a long-tailed q-gram document-frequency distribution, which is
 #: what makes inverted-index blocking sub-quadratic). A small fixed pool
-#: would make every q-gram hot and any blocking scheme quadratic.
+#: would make every q-gram hot and any blocking scheme quadratic. Vocabulary
+#: grows with corpus size (Heaps' law): see `_vocab_size`.
 VOCAB_SIZE = 5000
 
 
+def _vocab_size(n_entities: int) -> int:
+    return max(VOCAB_SIZE, n_entities)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 20)
 def _word(i: int) -> str:
     rng = random.Random(0xF022EE ^ (i * 2654435761))
     return "".join(rng.choice(_ALPHABET) for _ in range(rng.randint(4, 9)))
 
 
-_WORDS = [_word(i) for i in range(VOCAB_SIZE)]
-
-
-def _base_text(rng: random.Random) -> str:
+def _base_text(rng: random.Random, vocab: int) -> str:
     n = rng.randint(5, 10)
-    words = [rng.choice(_NAMES)] + [rng.choice(_WORDS) for _ in range(n - 1)]
+    words = [rng.choice(_NAMES)] + [_word(rng.randrange(vocab)) for _ in range(n - 1)]
     return " ".join(words)
 
 
@@ -77,10 +83,10 @@ def n_variants(entity: int, seed: int) -> int:
     return 1 + random.Random((seed << 20) ^ entity).randint(0, 3)
 
 
-def make_doc(entity: int, variant: int, seed: int) -> tuple[str, int, list]:
+def make_doc(entity: int, variant: int, seed: int, vocab: int = VOCAB_SIZE) -> tuple[str, int, list]:
     """Deterministic document for (entity, variant): counter-based RNG."""
     base_rng = random.Random((seed << 40) ^ (entity << 8))
-    text = _base_text(base_rng)
+    text = _base_text(base_rng, vocab)
     if variant > 0:
         vrng = random.Random((seed << 40) ^ (entity << 8) ^ variant)
         text = _mutate(text, vrng, n_edits=vrng.randint(1, 2))
@@ -111,6 +117,7 @@ def synth_documents(
 ) -> DataFrame:
     """Distributed deterministic corpus: ~2.5 docs/entity on average."""
     max_v = 4
+    vocab = _vocab_size(n_entities)
     base = spark.range(0, n_entities * max_v, 1, partitions or spark.sparkContext.defaultParallelism)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -120,7 +127,7 @@ def synth_documents(
                 entity, variant = divmod(int(i), max_v)
                 if variant >= n_variants(entity, seed):
                     continue
-                rows.append(make_doc(entity, variant, seed))
+                rows.append(make_doc(entity, variant, seed, vocab))
             yield pd.DataFrame(rows, columns=["doc_id", "entity_id", "spans"])
 
     return base.mapInPandas(gen, DOC_SCHEMA)
