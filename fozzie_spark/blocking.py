@@ -60,14 +60,17 @@ def edit_candidates(
     - SHORT pairs (both sides shorter than q + q*tau): length-band equi-join
       — char-length superset of the reference's byte-length band
       (levenshtein.rs:62-64), never fewer candidates.
-    - LONG pairs: q-gram count filtering. Any pair within edit distance tau
-      shares >= max(|a|,|b|) - q + 1 - q*tau q-grams (Gravano et al.,
-      VLDB'01), which is >= 1 when max len >= q*(tau+1); inverted-index join
+    - LONG pairs: q-gram count filtering. A Levenshtein edit destroys at
+      most q q-grams, so a pair within lv distance tau shares
+      >= max(|a|,|b|) - q + 1 - q*tau q-grams (Gravano et al., VLDB'01).
+      A TRANSPOSITION destroys up to q+1 grams ("Liam"/"Laim" share zero
+      2-grams), so OSA/DL use damage (q+1) per edit. Inverted-index join
       on grams + SUM(min(count)) threshold.
 
     Returns distinct (lkey, rkey) pairs.
     """
     tau = int(max_distance)
+    damage = (q + 1) if method in ("osa", "damerau_levenshtein", "dl") else q
     l = lkeys.select(lkey).withColumn("__fz_ll", F.length(lkey))
     r = rkeys.select(rkey).withColumn("__fz_rl", F.length(rkey))
 
@@ -81,7 +84,7 @@ def edit_candidates(
         )
         return le.join(r, F.col("__fz_bl") == F.col("__fz_rl")).select(lkey, rkey)
 
-    short_cut = q * (tau + 1)  # strings >= this length are prunable by grams
+    short_cut = q + damage * tau  # strings >= this length are prunable by grams
 
     # short path: band join restricted to both-short keys
     ls = l.filter(F.col("__fz_ll") < short_cut).withColumn(
@@ -105,7 +108,7 @@ def edit_candidates(
         .filter(F.abs(F.col("__fz_ll") - F.col("__fz_rl")) <= tau)
         .filter(
             F.col("__fz_shared")
-            >= F.greatest("__fz_ll", "__fz_rl") - q + 1 - q * tau
+            >= F.greatest("__fz_ll", "__fz_rl") - q + 1 - damage * tau
         )
         .select(lkey, rkey)
     )
@@ -233,6 +236,69 @@ def grid_candidates(
     r = rkeys.select(*rcols)
     cond = [F.col(f"__fz_c{i}") == F.floor(F.col(rc) / tau) for i, rc in enumerate(rcols)]
     return l.join(r, cond).select(*lcols, *rcols)
+
+
+def sorted_neighborhood_candidates(
+    keys: DataFrame,
+    key_col: str,
+    window: int = 10,
+    sort_expr=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking: pair every key with its `window`
+    successors in sort order. Approximate-recall blocking (classic SN,
+    Hernandez & Stolfo SIGMOD'95) that complements q-gram indexing — it
+    catches pairs whose shared grams were all capped/hot.
+
+    Scalable global ranking WITHOUT a single-partition sort:
+    repartitionByRange on the sort key, rank within each partition, then
+    add per-partition offsets (a tiny driver-side cumulative sum). The
+    neighbor join is a band equi-join on floor(rank/window) +-1 probes —
+    no self cross join, no global window operator.
+
+    Returns (key_col, key_col+"2") pairs with rank distance in [1, window].
+    """
+    from pyspark.sql import Window
+
+    sort_col = sort_expr if sort_expr is not None else F.col(key_col)
+    n_parts = num_partitions or max(keys.sparkSession.sparkContext.defaultParallelism, 2)
+    parts = (
+        keys.select(key_col, sort_col.alias("__fz_sort"))
+        .repartitionByRange(n_parts, "__fz_sort")
+        .withColumn("__fz_pid", F.spark_partition_id())
+    )
+    counts = {r["__fz_pid"]: r["n"] for r in parts.groupBy("__fz_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        keys.sparkSession.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "__fz_pid int, __fz_off long"
+        )
+    )
+    w = Window.partitionBy("__fz_pid").orderBy("__fz_sort", key_col)
+    ranked = (
+        parts.withColumn("__fz_rn", F.row_number().over(w))
+        .join(off_df, "__fz_pid")
+        .select(key_col, (F.col("__fz_rn") + F.col("__fz_off")).alias("__fz_rank"))
+    )
+    bucket = F.floor(F.col("__fz_rank") / window)
+    left = ranked.withColumn("__fz_b", F.explode(F.array(bucket, bucket + 1)))
+    right = ranked.select(
+        F.col(key_col).alias(key_col + "2"),
+        F.col("__fz_rank").alias("__fz_rank2"),
+        F.floor(F.col("__fz_rank") / window).alias("__fz_b"),
+    )
+    return (
+        left.join(right, "__fz_b")
+        .where(
+            (F.col("__fz_rank2") > F.col("__fz_rank"))
+            & (F.col("__fz_rank2") - F.col("__fz_rank") <= window)
+        )
+        .select(key_col, key_col + "2")
+        .distinct()
+    )
 
 
 def interval_bin_candidates(

@@ -42,6 +42,7 @@ def er_pipeline(
     q: int = 4,
     max_gram_df: int | None = 10_000,
     salt_partitions: int | None = None,
+    sn_window: int | None = 10,
     resume: bool = True,
     table_format: str = "parquet",
 ) -> dict[str, DataFrame]:
@@ -53,6 +54,7 @@ def er_pipeline(
         "q": q,
         "max_gram_df": max_gram_df,
         "salt_partitions": salt_partitions,
+        "sn_window": sn_window,
     }
     runner = StageRunner(
         spark, checkpoint_dir, run_config=params, resume=resume, table_format=table_format
@@ -110,6 +112,17 @@ def er_pipeline(
             .select("key", "key2")
             .distinct()
         )
+        if sn_window:
+            # complementary sorted-neighborhood pass (north rule): catches
+            # pairs whose shared grams were all dropped by the df cap
+            from fozzie_spark.blocking import sorted_neighborhood_candidates
+
+            sn = sorted_neighborhood_candidates(uniq, "key", window=sn_window)
+            sn = sn.select(
+                F.least("key", "key2").alias("key"),
+                F.greatest("key", "key2").alias("key2"),
+            )
+            cand = cand.unionByName(sn).distinct()
         return cand
 
     pairs = runner.stage("pairs", _pairs, params=params, depends_on=("keys",))

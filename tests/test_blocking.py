@@ -1,0 +1,91 @@
+"""Blocking-layer unit tests: candidate generation must be a SUPERSET of
+true matches (never lose recall) while staying sub-quadratic."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fozzie_spark import blocking
+from fozzie_spark import distances as D
+
+
+def kdf(spark, vals, col):
+    return spark.createDataFrame([(v,) for v in vals], f"{col} string")
+
+
+def test_edit_candidates_superset(spark):
+    lvals = ["Liam", "Noah", "Oliver", "Theodore", "James", "Olivia", "Emma", "Amelia"]
+    rvals = ["Laim", "No, ahhh", "Olive", "Jams", "A-A-ron", "Oliv HEE-YAH", "Emma", "Smelia", "x"]
+    for method in ("levenshtein", "osa", "damerau_levenshtein", "lcs", "hamming"):
+        for tau in (1, 2):
+            cand = blocking.edit_candidates(
+                kdf(spark, lvals, "__fz_l0"), kdf(spark, rvals, "__fz_r0"),
+                "__fz_l0", "__fz_r0", tau, method=method,
+            )
+            got = {tuple(r) for r in cand.collect()}
+            true = {
+                (a, b)
+                for a in lvals
+                for b in rvals
+                if D.score_batch(method, [a], [b], max_distance=tau)[0] <= tau
+            }
+            missing = true - got
+            assert not missing, (method, tau, missing)
+
+
+def test_ngram_candidates_superset(spark):
+    lvals = ["Liam", "Olivia", "Emma", "ab", "x", ""]
+    rvals = ["Laim", "Olive", "Emma", "xy", "", "Smelia"]
+    for method, tau in (("jaccard", 0.9), ("qgram", 2), ("cosine", 0.6)):
+        cand = blocking.ngram_candidates(
+            kdf(spark, lvals, "__fz_l0"), kdf(spark, rvals, "__fz_r0"),
+            "__fz_l0", "__fz_r0", method, tau, q=2,
+        )
+        got = {tuple(r) for r in cand.collect()}
+        true = {
+            (a, b)
+            for a in lvals
+            for b in rvals
+            if D.score_batch(method, [a], [b], max_distance=tau, q=2)[0] <= tau
+        }
+        assert true <= got, (method, true - got)
+
+
+def test_band_candidates_superset(spark):
+    lv = [0.0, 1.0, 5.5, -3.2, 100.0]
+    rv = [0.05, 1.2, 5.0, -3.0, 99.5, 42.0]
+    l = spark.createDataFrame([(v,) for v in lv], "__fz_l0 double")
+    r = spark.createDataFrame([(v,) for v in rv], "__fz_r0 double")
+    got = {tuple(x) for x in blocking.band_candidates(l, r, "__fz_l0", "__fz_r0", 0.5).collect()}
+    true = {(a, b) for a in lv for b in rv if abs(a - b) <= 0.5}
+    assert true <= got
+
+
+def test_sorted_neighborhood(spark):
+    keys = [f"k{i:03d}" for i in range(50)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string").repartition(5)
+    got = {tuple(r) for r in blocking.sorted_neighborhood_candidates(df, "key", window=3).collect()}
+    expected = {
+        (keys[i], keys[j]) for i in range(50) for j in range(i + 1, min(i + 4, 50))
+    }
+    assert got == expected
+
+
+def test_sorted_neighborhood_in_pipeline(spark, tmp_path):
+    # a pair whose only shared grams are globally hot gets dropped by an
+    # aggressive gram-df cap; the SN pass still pairs the adjacent keys
+    from fozzie_spark.pipeline import er_pipeline
+
+    rows = [
+        ("a", [{"kind": "text", "text": "zqxjwv north", "media_ref": None, "offset": 0}]),
+        ("b", [{"kind": "text", "text": "zqxjwv norti", "media_ref": None, "offset": 0}]),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    out = er_pipeline(
+        spark, docs, checkpoint_dir=str(tmp_path), max_distance=0.5, q=3,
+        max_gram_df=0 if False else 1,  # cap everything shared
+        sn_window=5,
+    )
+    ent = {r["doc_id"]: r["entity_id"] for r in out["entities"].collect()}
+    assert ent["a"] == ent["b"]
