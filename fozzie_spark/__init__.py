@@ -22,8 +22,11 @@ _JOIN_EXPORTS = (
 
 
 def __getattr__(name):  # lazy: keep scorer-only imports Spark-free
-    if name in _JOIN_EXPORTS:
+    if name in _JOIN_EXPORTS or name.endswith("_join"):
         from fozzie_spark import joins
 
-        return getattr(joins, name)
+        try:
+            return getattr(joins, name)
+        except AttributeError:
+            pass
     raise AttributeError(name)

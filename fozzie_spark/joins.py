@@ -160,6 +160,37 @@ def fuzzy_string_join(
     return materialize(left, right, by_pairs, matches, how, dist_names, suffixes)
 
 
+def _make_directional(base, how):
+    import functools
+
+    @functools.wraps(base)
+    def wrapper(left, right, by=None, **kw):
+        kw.pop("how", None)
+        return base(left, right, by=by, how=how, **kw)
+
+    wrapper.__name__ = f"{base.__name__}_{how}"
+    wrapper.__doc__ = f"{base.__name__} with how={how!r} (reference-style directional wrapper)."
+    return wrapper
+
+
+#: reference-style directional wrappers: fuzzy_string_inner_join(...) etc.
+#: (mirrors R/fozzie_string_join.R:82-227 and siblings)
+def _install_directional():
+    g = globals()
+    for base_name in (
+        "fuzzy_string_join",
+        "difference_join",
+        "distance_join",
+        "interval_join",
+        "regex_join",
+        "temporal_join",
+        "temporal_interval_join",
+    ):
+        for how in ("inner", "left", "right", "full", "semi", "anti"):
+            stem = base_name[: -len("_join")]
+            g[f"{stem}_{how}_join"] = _make_directional(g[base_name], how)
+
+
 def _soundex_candidates(l0: DataFrame, r0: DataFrame) -> DataFrame:
     """Equality blocking on dual soundex codes; a pair is a candidate (and a
     match — distance is always 0) iff any of the 4 primary/alt code
@@ -540,3 +571,6 @@ def regex_join(
             pat = F.concat(F.lit("(?i)"), pat)
         pairs = pairs.filter(F.regexp_like(F.col(f"__fz_l{i}"), pat))
     return materialize(left, right, by_pairs, pairs, how, [], suffixes)
+
+
+_install_directional()
