@@ -266,21 +266,19 @@ def sorted_neighborhood_candidates(
         keys.select(key_col, sort_col.alias("__fz_sort"))
         .repartitionByRange(n_parts, "__fz_sort")
         .withColumn("__fz_pid", F.spark_partition_id())
+        .persist()
     )
-    counts = {r["__fz_pid"]: r["n"] for r in parts.groupBy("__fz_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = F.broadcast(
-        keys.sparkSession.createDataFrame(
-            [(int(p), int(o)) for p, o in offsets.items()], "__fz_pid int, __fz_off long"
-        )
+    # partition offsets as a lazy cumulative sum over the (tiny) partition
+    # counts — broadcast-joined back; no driver-side collect
+    counts = parts.groupBy("__fz_pid").agg(F.count(F.lit(1)).alias("__fz_n"))
+    off_w = Window.orderBy("__fz_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_df = counts.select(
+        "__fz_pid", F.coalesce(F.sum("__fz_n").over(off_w), F.lit(0)).alias("__fz_off")
     )
     w = Window.partitionBy("__fz_pid").orderBy("__fz_sort", key_col)
     ranked = (
         parts.withColumn("__fz_rn", F.row_number().over(w))
-        .join(off_df, "__fz_pid")
+        .join(F.broadcast(off_df), "__fz_pid")
         .select(key_col, (F.col("__fz_rn") + F.col("__fz_off")).alias("__fz_rank"))
     )
     bucket = F.floor(F.col("__fz_rank") / window)

@@ -82,7 +82,7 @@ def er_pipeline(
         from pyspark.sql import Window
 
         t = 1.0 - max_distance  # similarity threshold
-        uniq = keys.select("key").where(F.col("key").isNotNull()).distinct()
+        uniq = keys.select("key").where(F.col("key").isNotNull()).distinct().persist()
         grams = uniq.select(
             F.col("key"),
             F.size(F.array_distinct(qgrams_col("key", q))).alias("n"),
