@@ -91,7 +91,9 @@ def er_pipeline(
         gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
         if max_gram_df:
             gram_df = gram_df.where(F.col("df") <= max_gram_df)
-        grams = grams.join(gram_df, "g")  # inner: also drops capped grams
+        # gram-df table is small (bounded by distinct grams) — broadcast so
+        # the exploded gram rows don't shuffle for the df lookup
+        grams = grams.join(F.broadcast(gram_df), "g")  # inner: drops capped grams
         if method == "jaccard" and t > 0:
             w = Window.partitionBy("key").orderBy(F.col("df").asc(), F.col("g").asc())
             prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
@@ -136,14 +138,31 @@ def er_pipeline(
     if method == "jaccard":
 
         def _refine():
+            # gram SETS as hashed bigint arrays: 3-4x smaller than string
+            # arrays through the join, and long-compare intersection.
+            # xxhash64 collisions (~n^2/2^64) are negligible and would only
+            # ever ADD a candidate — the Arrow scorer re-verifies exactly.
             sets_df = (
                 keys.select("key")
                 .where(F.col("key").isNotNull())
                 .distinct()
-                .select("key", F.array_distinct(qgrams_col("key", q)).alias("gs"))
+                .select(
+                    "key",
+                    F.transform(
+                        F.array_distinct(qgrams_col("key", q)), lambda g: F.xxhash64(g)
+                    ).alias("gs"),
+                )
             )
+            # the distinct-key gram table is tiny relative to the pair table
+            # — broadcast it both ways so the 10M+ pair rows never shuffle.
+            # (At key cardinalities beyond memory, drop the hint: Catalyst
+            # falls back to a shuffled join, still correct.)
+            n_keys = sets_df.count()
+            bcast = n_keys < 5_000_000
             a = sets_df.select(F.col("key"), F.col("gs").alias("gs1"))
             b = sets_df.select(F.col("key").alias("key2"), F.col("gs").alias("gs2"))
+            if bcast:
+                a, b = F.broadcast(a), F.broadcast(b)
             inter = F.size(F.array_intersect("gs1", "gs2"))
             union = F.size("gs1") + F.size("gs2") - inter
             jd = F.when(
