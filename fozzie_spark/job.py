@@ -29,7 +29,7 @@ def build_session(app: str, cpus: str | None = None, shuffle_partitions: int | N
         b = b.master(f"local[{cpus}]")
         # local mode: executors live in the driver JVM — size it accordingly
         # (must be set before the JVM starts; no-op under spark-submit)
-        b = b.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        b = b.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     b = (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.adaptive.enabled", "true")

@@ -107,6 +107,7 @@ def fuzzy_string_join(
     prefix_weight: float = 0.0,
     suffixes: tuple[str, str] = (".x", ".y"),
     gram_filter: bool = True,
+    scoring_partitions: int | None = None,
 ) -> DataFrame:
     """Fuzzy string join — Spark equivalent of fozzie_string_join
     (R/fozzie_string_join.R:59-77). Defaults mirror the reference
@@ -115,6 +116,10 @@ def fuzzy_string_join(
     Multi-key: candidates are generated on the FIRST key only, then every
     key is scored with the same method/threshold and all must pass
     (string/mod.rs:82-127).
+
+    `scoring_partitions`: salted round-robin repartition of the candidate
+    pairs before the Arrow scorer — use when blocking keys are skewed so
+    one hot block would pin the scoring stage to a few tasks.
     """
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}")
@@ -143,6 +148,8 @@ def fuzzy_string_join(
         cand = blocking.cross_candidates(l0, r0, "__fz_l0", "__fz_r0")
 
     pairs = _expand_tuples(cand, lkeys, rkeys, len(by_pairs))
+    if scoring_partitions:
+        pairs = pairs.repartition(scoring_partitions)
     col_pairs = [(f"__fz_l{i}", f"__fz_r{i}") for i in range(len(by_pairs))]
     internal = [f"__fz_D{i}" for i in range(len(by_pairs))]
     matches = score_string_pairs(

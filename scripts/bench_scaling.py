@@ -26,6 +26,7 @@ def run_level(cpus: int, n_entities: int) -> dict:
     ckpt = f"/tmp/fz_scale_{cpus}"
     shutil.rmtree(ckpt, ignore_errors=True)
     t0 = time.time()
+    env = dict(os.environ, SPARK_DRIVER_MEMORY="24g")
     proc = subprocess.run(
         [
             sys.executable, "-m", "fozzie_spark.job",
@@ -37,6 +38,7 @@ def run_level(cpus: int, n_entities: int) -> dict:
         ],
         capture_output=True,
         text=True,
+        env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     wall = time.time() - t0
