@@ -1,23 +1,31 @@
 """The north-rule 3-stage entity-resolution pipeline over interleaved
 text+media documents:
 
-    stage 1  keys      doc_id -> join key (ordered concat of text spans)
-    stage 2  blocking  q-gram inverted index (+ hot-gram capping, salted
-                       repartition) -> distinct candidate KEY pairs
-    stage 3  scoring   Arrow-batched pairwise distances, threshold -> edges
-    stage 4  cluster   large-star/small-star connected components
-    stage 5  assign    docs join key->entity; spans carried untouched
+    stage 1   keys      doc_id -> join key (ordered concat of text spans)
+    stage 2   pairs     PPJoin-style blocking (prefix-filtered q-gram
+                        inverted index + positional filter + sorted
+                        neighborhood) -> candidate KEY-ID pairs
+    stage 2b  refine    exact JVM jaccard on hashed gram arrays (profile
+                        methods) — kills the shared-one-rare-word mass
+    stage 3   edges     Arrow-batched pairwise scoring, threshold
+    stage 4   clusters  large-star/small-star connected components
+    stage 5   assign    docs join key->entity; spans carried untouched
 
 Clustering runs in KEY space (distinct key values), so identical texts
-cluster for free and the edge graph is as small as possible; doc
-assignment is one equi-join at the end. Every stage checkpoints through
-StageRunner (lineage + metrics + resume).
+cluster for free; doc assignment is one equi-join at the end. Every stage
+checkpoints through StageRunner (lineage + metrics + resume).
+
+Keys travel the pair path as 128-bit ids (two independent xxhash64s —
+collision odds ~1e-14 even at 1e12 keys): candidate/edge checkpoints carry
+16 bytes instead of the full key strings (7x less shuffle + checkpoint
+I/O) and connected components shuffles fixed-width ids. The key-id
+dictionary lives in the `keys` stage output.
 
 Scale levers (100 TB story):
 - all candidate generation is equi-join on generated block keys; no cross
   joins anywhere
-- hot q-grams (power-law!) are capped by document frequency (`max_gram_df`)
-  BEFORE the pair join, bounding the worst block quadratic
+- hot q-grams (power-law!) are neutralized by PPJoin prefix + positional
+  filtering (lossless for jaccard) with `max_gram_df` as a safety valve
 - the pair join is salted by repartition(salt_partitions) when requested
 - scoring touches only distinct key pairs (dedup-before-score)
 """
@@ -31,6 +39,14 @@ from fozzie_spark.checkpoint import StageRunner
 from fozzie_spark.cluster import connected_components
 from fozzie_spark.scoring import string_distance_udf
 from fozzie_spark.synth import doc_text_key
+
+
+def key_id(col):
+    """128-bit content id for a key string: struct of two independent
+    xxhash64s (orderable, groupable, fixed 16 bytes)."""
+    return F.struct(
+        F.xxhash64(col).alias("h1"), F.xxhash64(col, F.lit(0x5EED)).alias("h2")
+    )
 
 
 def er_pipeline(
@@ -55,36 +71,42 @@ def er_pipeline(
         "max_gram_df": max_gram_df,
         "salt_partitions": salt_partitions,
         "sn_window": sn_window,
+        "ids": "xxh64x2",
     }
     runner = StageRunner(
         spark, checkpoint_dir, run_config=params, resume=resume, table_format=table_format
     )
 
-    # ---- stage 1: derive keys (pure projection — no shuffle) --------------
+    # ---- stage 1: derive keys + key ids (pure projection — no shuffle) ----
     def _keys():
-        return docs.select("doc_id", doc_text_key("spans").alias("key"))
+        return docs.select(
+            "doc_id",
+            doc_text_key("spans").alias("key"),
+        ).withColumn("kid", key_id(F.col("key")))
 
     keys = runner.stage("keys", _keys, params={"q": q})
+    uniq = keys.select("key", "kid").where(F.col("key").isNotNull()).distinct().persist()
 
-    # ---- stage 2: blocking on distinct keys -------------------------------
+    # ---- stage 2: blocking on distinct keys -> candidate id pairs ----------
     def _pairs():
-        """Prefix-filtered q-gram inverted index (PPJoin-style, exact).
+        """Prefix-filtered q-gram inverted index (PPJoin, exact for jaccard).
 
         Hot q-grams are power-law distributed; a naive share-a-gram join is
         quadratic in the hottest gram's document frequency. Prefix filtering
         (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) is LOSSLESS for
         Jaccard: order each key's distinct grams by global rarity; two keys
         with jaccard_sim >= t = 1 - max_distance MUST share a gram within
-        their first (n - ceil(t*n) + 1) grams. Indexing only prefixes turns
-        the hot-gram quadratic into joins on the rarest grams.
+        their first (n - ceil(t*n) + 1) grams. The POSITIONAL filter
+        (PPJoin, Xiao et al. WWW'08) further bounds the best-possible
+        overlap from the prefix positions of the shared gram:
+            1 + min(n - rn, n2 - rn2) >= ceil(t/(1+t) * (n + n2)).
         `max_gram_df` remains as an (approximate) safety valve on top.
         """
         from pyspark.sql import Window
 
         t = 1.0 - max_distance  # similarity threshold
-        uniq = keys.select("key").where(F.col("key").isNotNull()).distinct().persist()
         grams = uniq.select(
-            F.col("key"),
+            F.col("kid"),
             F.size(F.array_distinct(qgrams_col("key", q))).alias("n"),
             F.explode(F.array_distinct(qgrams_col("key", q))).alias("g"),
         )
@@ -94,73 +116,67 @@ def er_pipeline(
         # gram-df table is small (bounded by distinct grams) — broadcast so
         # the exploded gram rows don't shuffle for the df lookup
         grams = grams.join(F.broadcast(gram_df), "g")  # inner: drops capped grams
-        if method == "jaccard" and t > 0:
-            w = Window.partitionBy("key").orderBy(F.col("df").asc(), F.col("g").asc())
+        positional = method == "jaccard" and t > 0
+        if positional:
+            w = Window.partitionBy("kid").orderBy(F.col("df").asc(), F.col("g").asc())
             prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-            grams = (
-                grams.withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") <= prefix_len)
-                .drop("rn")
+            grams = grams.withColumn("rn", F.row_number().over(w)).where(
+                F.col("rn") <= prefix_len
             )
-        grams = grams.select("key", "n", "g")
-        right = grams.select(F.col("key").alias("key2"), F.col("n").alias("n2"), "g")
+        else:
+            grams = grams.withColumn("rn", F.lit(1))
+        grams = grams.select("kid", "n", "g", "rn")
+        right = grams.select(
+            F.col("kid").alias("kid2"), F.col("n").alias("n2"), "g", F.col("rn").alias("rn2")
+        )
         if salt_partitions:
             grams = grams.repartition(salt_partitions, "g")
-        cand = (
-            grams.join(right, "g")
-            .where(F.col("key") < F.col("key2"))
-            # size-bound prune: jaccard_sim >= t needs min/max >= t
-            .where(F.least("n", "n2") >= F.ceil(F.lit(t) * F.greatest("n", "n2")))
-            .select("key", "key2")
-            .distinct()
-        )
+        cand = grams.join(right, "g").where(F.col("kid") < F.col("kid2"))
+        # size-bound prune: jaccard_sim >= t needs min/max >= t
+        cand = cand.where(F.least("n", "n2") >= F.ceil(F.lit(t) * F.greatest("n", "n2")))
+        if positional:
+            alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("n") + F.col("n2")))
+            cand = cand.where(
+                F.lit(1) + F.least(F.col("n") - F.col("rn"), F.col("n2") - F.col("rn2"))
+                >= alpha
+            )
+        cand = cand.select("kid", "kid2").distinct()
         if sn_window:
             # complementary sorted-neighborhood pass (north rule): catches
             # pairs whose shared grams were all dropped by the df cap
             from fozzie_spark.blocking import sorted_neighborhood_candidates
 
-            sn = sorted_neighborhood_candidates(uniq, "key", window=sn_window)
-            sn = sn.select(
-                F.least("key", "key2").alias("key"),
-                F.greatest("key", "key2").alias("key2"),
+            sn = sorted_neighborhood_candidates(uniq.select("key"), "key", window=sn_window)
+            sn_ids = sn.select(
+                key_id(F.col("key")).alias("a"), key_id(F.col("key2")).alias("b")
+            ).select(
+                F.least("a", "b").alias("kid"), F.greatest("a", "b").alias("kid2")
             )
-            cand = cand.unionByName(sn).distinct()
+            cand = cand.unionByName(sn_ids).distinct()
         return cand
 
     pairs = runner.stage("pairs", _pairs, params=params, depends_on=("keys",))
 
     # ---- stage 2b: JVM exact refine (profile methods only) -----------------
-    # For jaccard the distance is computable entirely JVM-side from the gram
-    # arrays (array_intersect — whole-stage codegen, no Python, no Arrow
-    # transfer of the candidate strings). This is the cheap exact kill for
-    # the "shared one rare word" candidate mass; the Arrow scorer then only
-    # touches true near-duplicates. Lossless: same distance definition.
+    # For jaccard the distance is computable entirely JVM-side from hashed
+    # gram arrays (array_intersect — whole-stage codegen, no Python, no
+    # Arrow transfer). Lossless: same distance definition; xxhash64 gram
+    # collisions could only ADD a candidate, and the Arrow scorer re-checks.
     if method == "jaccard":
 
         def _refine():
-            # gram SETS as hashed bigint arrays: 3-4x smaller than string
-            # arrays through the join, and long-compare intersection.
-            # xxhash64 collisions (~n^2/2^64) are negligible and would only
-            # ever ADD a candidate — the Arrow scorer re-verifies exactly.
-            sets_df = (
-                keys.select("key")
-                .where(F.col("key").isNotNull())
-                .distinct()
-                .select(
-                    "key",
-                    F.transform(
-                        F.array_distinct(qgrams_col("key", q)), lambda g: F.xxhash64(g)
-                    ).alias("gs"),
-                )
+            sets_df = uniq.select(
+                "kid",
+                F.transform(
+                    F.array_distinct(qgrams_col("key", q)), lambda g: F.xxhash64(g)
+                ).alias("gs"),
             )
-            # the distinct-key gram table is tiny relative to the pair table
-            # — broadcast it both ways so the 10M+ pair rows never shuffle.
-            # (At key cardinalities beyond memory, drop the hint: Catalyst
-            # falls back to a shuffled join, still correct.)
-            n_keys = sets_df.count()
-            bcast = n_keys < 5_000_000
-            a = sets_df.select(F.col("key"), F.col("gs").alias("gs1"))
-            b = sets_df.select(F.col("key").alias("key2"), F.col("gs").alias("gs2"))
+            # the distinct-key gram table is small relative to the pair
+            # table — broadcast it both ways so pair rows never shuffle.
+            # (Beyond ~5M keys Catalyst falls back to a shuffled join.)
+            bcast = uniq.count() < 5_000_000
+            a = sets_df.select(F.col("kid"), F.col("gs").alias("gs1"))
+            b = sets_df.select(F.col("kid").alias("kid2"), F.col("gs").alias("gs2"))
             if bcast:
                 a, b = F.broadcast(a), F.broadcast(b)
             inter = F.size(F.array_intersect("gs1", "gs2"))
@@ -169,10 +185,10 @@ def er_pipeline(
                 (F.size("gs1") == 0) & (F.size("gs2") == 0), F.lit(0.0)
             ).otherwise(F.lit(1.0) - inter / union)
             return (
-                pairs.join(a, "key")
-                .join(b, "key2")
+                pairs.join(a, "kid")
+                .join(b, "kid2")
                 .where(jd <= max_distance)
-                .select("key", "key2")
+                .select("kid", "kid2")
             )
 
         scored_input = runner.stage("refine", _refine, params=params, depends_on=("pairs",))
@@ -181,34 +197,41 @@ def er_pipeline(
         scored_input = pairs
         refine_dep = ("pairs",)
 
-    # ---- stage 3: vectorized scoring -> edges ------------------------------
+    # ---- stage 3: vectorized scoring -> edges (id pairs + distance) --------
     def _edges():
+        dict_a = uniq.select("kid", F.col("key").alias("__k1"))
+        dict_b = uniq.select(F.col("kid").alias("kid2"), F.col("key").alias("__k2"))
+        bcast = uniq.count() < 5_000_000
+        if bcast:
+            dict_a, dict_b = F.broadcast(dict_a), F.broadcast(dict_b)
         udf = string_distance_udf(method, max_distance=max_distance, q=q)
         return (
-            scored_input.withColumn("dist", udf(F.col("key"), F.col("key2")))
+            scored_input.join(dict_a, "kid")
+            .join(dict_b, "kid2")
+            .withColumn("dist", udf(F.col("__k1"), F.col("__k2")))
             .where(F.col("dist") <= max_distance)
-            .select("key", "key2", "dist")
+            .select("kid", "kid2", "dist")
         )
 
     edges = runner.stage("edges", _edges, params=params, depends_on=refine_dep)
 
-    # ---- stage 4: transitive clustering over keys --------------------------
+    # ---- stage 4: transitive clustering over key ids ------------------------
     def _clusters():
-        return connected_components(edges, src="key", dst="key2").select(
-            F.col("node").alias("key"), F.col("component").alias("entity_key")
+        return connected_components(edges, src="kid", dst="kid2").select(
+            F.col("node").alias("kid"), F.col("component").alias("entity_kid")
         )
 
     clusters = runner.stage("clusters", _clusters, params=params, depends_on=("edges",))
 
     # ---- stage 5: assign docs, carry spans byte-identical -------------------
     def _entities():
-        assign = keys.join(clusters, "key", "left").select(
-            "doc_id", F.coalesce("entity_key", "key").alias("entity_key")
+        assign = keys.join(clusters, "kid", "left").select(
+            "doc_id", F.coalesce("entity_kid", "kid").alias("entity_kid")
         )
         return (
             docs.join(assign, "doc_id")
-            .withColumn("entity_id", F.xxhash64("entity_key"))
-            .drop("entity_key")
+            .withColumn("entity_id", F.xxhash64("entity_kid.h1", "entity_kid.h2"))
+            .drop("entity_kid")
         )
 
     entities = runner.stage("entities", _entities, params=params, depends_on=("clusters", "keys"))
