@@ -57,7 +57,9 @@ class StageRunner:
         params: dict | None = None,
         depends_on: tuple[str, ...] = (),
     ) -> DataFrame:
-        """Run (or resume) a named stage. `fn` returns the stage DataFrame."""
+        """Run (or resume) a named stage. `fn` returns the stage DataFrame,
+        or (DataFrame, Observation) — observed metrics (collected by the
+        write action, no extra job) merge into the stage manifest."""
         data_path, manifest_path = self._paths(name)
         upstream = [self.manifests[d]["config_hash"] for d in depends_on if d in self.manifests]
         cfg = {
@@ -77,22 +79,38 @@ class StageRunner:
                 return self.spark.read.format(self.table_format).load(data_path)
 
         t0 = time.time()
-        df = fn()
+        result = fn()
+        obs = None
+        if isinstance(result, tuple):
+            df, obs = result
+        else:
+            df = result
         df.write.format(self.table_format).mode("overwrite").save(data_path)
         out = self.spark.read.format(self.table_format).load(data_path)
 
         metrics: dict = {}
+        if obs is not None:
+            try:
+                metrics.update(dict(obs.get))
+            except Exception:
+                # AQE empty-relation propagation can prune the observed
+                # subtree entirely (zero-candidate plans) — no metrics then
+                pass
         if self.collect_metrics:
             per_part = (
                 out.groupBy(F.spark_partition_id().alias("partition"))
                 .agg(F.count(F.lit(1)).alias("rows"))
                 .collect()
             )
-            metrics = {
-                "rows": int(sum(r["rows"] for r in per_part)),
-                "partitions": len(per_part),
-                "rows_per_partition": {str(r["partition"]): int(r["rows"]) for r in per_part},
-            }
+            metrics.update(
+                {
+                    "rows": int(sum(r["rows"] for r in per_part)),
+                    "partitions": len(per_part),
+                    "rows_per_partition": {
+                        str(r["partition"]): int(r["rows"]) for r in per_part
+                    },
+                }
+            )
 
         manifest = {
             "stage": name,

@@ -91,15 +91,22 @@ def main(argv=None) -> int:
     if args.output:
         out["entities"].write.mode("overwrite").parquet(args.output)
 
-    n_pairs = runner.metric("pairs", "rows") or 0
+    n_pairs = (
+        runner.metric("pairs", "raw_candidates")
+        or runner.metric("pairs", "rows")
+        or 0
+    )
+    n_survivors = runner.metric("pairs", "rows") or 0
     n_edges = runner.metric("edges", "rows") or 0
     stage_wall = {s: m["wall_s"] for s, m in runner.manifests.items()}
-    # pairs/sec counts every candidate evaluated: the JVM refine stage (when
-    # present) + the Arrow scoring stage both process the raw candidates
-    score_wall = (stage_wall.get("refine", 0.0) + stage_wall.get("edges", 0.0)) or 1e-9
+    # pairs/sec counts every raw candidate evaluated: the fused blocking +
+    # JVM-refine stage evaluates each raw candidate exactly once, the Arrow
+    # scoring stage re-scores survivors
+    score_wall = (stage_wall.get("pairs", 0.0) + stage_wall.get("edges", 0.0)) or 1e-9
     result = {
         "docs": runner.metric("keys", "rows"),
         "candidate_pairs": n_pairs,
+        "surviving_pairs": n_survivors,
         "edges": n_edges,
         "entities_rows": n_entities_rows,
         "wall_s": round(wall, 3),

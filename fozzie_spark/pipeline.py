@@ -4,9 +4,10 @@ text+media documents:
     stage 1   keys      doc_id -> join key (ordered concat of text spans)
     stage 2   pairs     PPJoin-style blocking (prefix-filtered q-gram
                         inverted index + positional filter + sorted
-                        neighborhood) -> candidate KEY-ID pairs
-    stage 2b  refine    exact JVM jaccard on hashed gram arrays (profile
-                        methods) — kills the shared-one-rare-word mass
+                        neighborhood), FUSED with a map-side exact JVM
+                        jaccard refine over broadcast hashed gram arrays
+                        -> surviving candidate KEY-ID pairs (raw candidate
+                        counts observed into the stage manifest)
     stage 3   edges     Arrow-batched pairwise scoring, threshold
     stage 4   clusters  large-star/small-star connected components
     stage 5   assign    docs join key->entity; spans carried untouched
@@ -140,7 +141,7 @@ def er_pipeline(
                 F.lit(1) + F.least(F.col("n") - F.col("rn"), F.col("n2") - F.col("rn2"))
                 >= alpha
             )
-        cand = cand.select("kid", "kid2").distinct()
+        cand = cand.select("kid", "kid2")
         if sn_window:
             # complementary sorted-neighborhood pass (north rule): catches
             # pairs whose shared grams were all dropped by the df cap
@@ -152,28 +153,30 @@ def er_pipeline(
             ).select(
                 F.least("a", "b").alias("kid"), F.greatest("a", "b").alias("kid2")
             )
-            cand = cand.unionByName(sn_ids).distinct()
-        return cand
+            cand = cand.unionByName(sn_ids)
 
-    pairs = runner.stage("pairs", _pairs, params=params, depends_on=("keys",))
+        # raw candidate count (duplicates NOT removed — each is one pair
+        # evaluation) observed by the write action, no extra job
+        from pyspark.sql import Observation
 
-    # ---- stage 2b: JVM exact refine (profile methods only) -----------------
-    # For jaccard the distance is computable entirely JVM-side from hashed
-    # gram arrays (array_intersect — whole-stage codegen, no Python, no
-    # Arrow transfer). Lossless: same distance definition; xxhash64 gram
-    # collisions could only ADD a candidate, and the Arrow scorer re-checks.
-    if method == "jaccard":
+        obs = Observation()
+        cand = cand.observe(obs, F.count(F.lit(1)).alias("raw_candidates"))
 
-        def _refine():
+        # ---- fused map-side refine (profile methods) --------------------
+        # Deduplicating 10^8+ raw candidates is a full shuffle of the pair
+        # stream; instead keep duplicates and kill non-matches FIRST with
+        # an exact JVM jaccard over BROADCAST hashed gram arrays (map-only,
+        # whole-stage codegen) — then dedupe only the tiny survivor set.
+        # Lossless: same distance definition; gram-hash collisions could
+        # only ADD a survivor and the Arrow scorer re-checks.
+        if method == "jaccard":
             sets_df = uniq.select(
                 "kid",
                 F.transform(
                     F.array_distinct(qgrams_col("key", q)), lambda g: F.xxhash64(g)
                 ).alias("gs"),
             )
-            # the distinct-key gram table is small relative to the pair
-            # table — broadcast it both ways so pair rows never shuffle.
-            # (Beyond ~5M keys Catalyst falls back to a shuffled join.)
+            # (beyond ~5M distinct keys drop the hint: shuffled join)
             bcast = uniq.count() < 5_000_000
             a = sets_df.select(F.col("kid"), F.col("gs").alias("gs1"))
             b = sets_df.select(F.col("kid").alias("kid2"), F.col("gs").alias("gs2"))
@@ -184,18 +187,12 @@ def er_pipeline(
             jd = F.when(
                 (F.size("gs1") == 0) & (F.size("gs2") == 0), F.lit(0.0)
             ).otherwise(F.lit(1.0) - inter / union)
-            return (
-                pairs.join(a, "kid")
-                .join(b, "kid2")
-                .where(jd <= max_distance)
-                .select("kid", "kid2")
-            )
+            cand = cand.join(a, "kid").join(b, "kid2").where(jd <= max_distance)
+        return cand.select("kid", "kid2").distinct(), obs
 
-        scored_input = runner.stage("refine", _refine, params=params, depends_on=("pairs",))
-        refine_dep = ("refine",)
-    else:
-        scored_input = pairs
-        refine_dep = ("pairs",)
+    pairs = runner.stage("pairs", _pairs, params=params, depends_on=("keys",))
+    scored_input = pairs
+    refine_dep = ("pairs",)
 
     # ---- stage 3: vectorized scoring -> edges (id pairs + distance) --------
     def _edges():
