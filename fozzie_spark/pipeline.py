@@ -4,10 +4,10 @@ text+media documents:
     stage 1   keys      doc_id -> join key (ordered concat of text spans)
     stage 2   pairs     PPJoin-style blocking (prefix-filtered q-gram
                         inverted index + positional filter + sorted
-                        neighborhood), FUSED with a map-side exact JVM
-                        jaccard refine over broadcast hashed gram arrays
-                        -> surviving candidate KEY-ID pairs (raw candidate
-                        counts observed into the stage manifest)
+                        neighborhood), FUSED with a map-side 512-bit gram
+                        Bloom-signature refine against a broadcast signature
+                        table -> surviving candidate KEY-ID pairs (raw
+                        candidate counts observed into the stage manifest)
     stage 3   edges     Arrow-batched pairwise scoring, threshold
     stage 4   clusters  large-star/small-star connected components
     stage 5   assign    docs join key->entity; spans carried untouched
@@ -162,32 +162,73 @@ def er_pipeline(
         obs = Observation()
         cand = cand.observe(obs, F.count(F.lit(1)).alias("raw_candidates"))
 
-        # ---- fused map-side refine (profile methods) --------------------
+        # ---- fused map-side Bloom refine (profile methods) ---------------
         # Deduplicating 10^8+ raw candidates is a full shuffle of the pair
-        # stream; instead keep duplicates and kill non-matches FIRST with
-        # an exact JVM jaccard over BROADCAST hashed gram arrays (map-only,
-        # whole-stage codegen) — then dedupe only the tiny survivor set.
-        # Lossless: same distance definition; gram-hash collisions could
-        # only ADD a survivor and the Arrow scorer re-checks.
+        # stream; instead keep duplicates and kill non-matches FIRST with a
+        # 512-bit gram Bloom signature test against a BROADCAST (tiny,
+        # ~50B/key) signature table — one AND+popcount per pair, map-only,
+        # whole-stage codegen — then dedupe only the small survivor set.
+        # A true match needs alpha = ceil(t/(1+t)(n1+n2)) shared grams;
+        # their bits survive the AND, and alpha random balls in 512 bins
+        # occupy >= floor(alpha/2)-2 bins except with vanishing probability
+        # (threshold clamps to 1, which is fully SOUND: one shared gram =>
+        # one shared bit). Random non-matching pairs pass at <1%; the Arrow
+        # scorer in the edges stage is the exact verifier for survivors.
         if method == "jaccard":
-            sets_df = uniq.select(
-                "kid",
-                F.transform(
-                    F.array_distinct(qgrams_col("key", q)), lambda g: F.xxhash64(g)
-                ).alias("gs"),
+
+            NSIG = 8  # 512-bit signature: grams PARTITIONED across 8 words
+            # so each word stays sparse (~n/8 grams -> low AND noise)
+
+            def _sig(gs, i):
+                one = F.lit(1).cast("long")
+                return F.aggregate(
+                    gs,
+                    F.lit(0).cast("long"),
+                    lambda acc, g: acc.bitwiseOR(
+                        F.when(
+                            F.pmod(g, F.lit(NSIG)) == i,
+                            # shiftleft via call_function: the PySpark wrapper
+                            # only takes literal bit counts, the SQL fn any int
+                            F.call_function(
+                                "shiftleft",
+                                one,
+                                F.pmod(F.shiftright(g, 3), F.lit(64)).cast("int"),
+                            ),
+                        ).otherwise(F.lit(0).cast("long"))
+                    ),
+                )
+
+            hashed = F.transform(
+                F.array_distinct(qgrams_col("key", q)), lambda g: F.xxhash64(g)
             )
-            # (beyond ~5M distinct keys drop the hint: shuffled join)
-            bcast = uniq.count() < 5_000_000
-            a = sets_df.select(F.col("kid"), F.col("gs").alias("gs1"))
-            b = sets_df.select(F.col("kid").alias("kid2"), F.col("gs").alias("gs2"))
+            sig_df = uniq.select(
+                "kid",
+                F.size(hashed).alias("n"),
+                *[_sig(hashed, i).alias(f"s{i}") for i in range(NSIG)],
+            )
+            # (beyond ~50M distinct keys drop the hint: shuffled join)
+            bcast = uniq.count() < 50_000_000
+            a = sig_df.select(
+                "kid",
+                F.col("n").alias("na"),
+                *[F.col(f"s{i}").alias(f"a{i}") for i in range(NSIG)],
+            )
+            b = sig_df.select(
+                F.col("kid").alias("kid2"),
+                F.col("n").alias("nb"),
+                *[F.col(f"s{i}").alias(f"b{i}") for i in range(NSIG)],
+            )
             if bcast:
                 a, b = F.broadcast(a), F.broadcast(b)
-            inter = F.size(F.array_intersect("gs1", "gs2"))
-            union = F.size("gs1") + F.size("gs2") - inter
-            jd = F.when(
-                (F.size("gs1") == 0) & (F.size("gs2") == 0), F.lit(0.0)
-            ).otherwise(F.lit(1.0) - inter / union)
-            cand = cand.join(a, "kid").join(b, "kid2").where(jd <= max_distance)
+            t_sim = 1.0 - max_distance
+            alpha = F.ceil(F.lit(t_sim / (1.0 + t_sim)) * (F.col("na") + F.col("nb")))
+            shared_bits = sum(
+                F.bit_count(F.col(f"a{i}").bitwiseAND(F.col(f"b{i}"))) for i in range(NSIG)
+            )
+            bloom_ok = shared_bits >= F.greatest(F.floor(alpha / 2) - 2, F.lit(1))
+            # keep empty-profile pairs (jaccard(both empty)=0 is a match)
+            both_empty = (F.col("na") == 0) & (F.col("nb") == 0)
+            cand = cand.join(a, "kid").join(b, "kid2").where(bloom_ok | both_empty)
         return cand.select("kid", "kid2").distinct(), obs
 
     pairs = runner.stage("pairs", _pairs, params=params, depends_on=("keys",))

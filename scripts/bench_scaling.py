@@ -19,7 +19,7 @@ import subprocess
 import sys
 import time
 
-LEVELS = (8, 32)
+LEVELS = tuple(int(x) for x in os.environ.get('FZ_LEVELS', '8,32').split(','))
 
 
 def run_level(cpus: int, n_entities: int) -> dict:
@@ -64,7 +64,8 @@ def main() -> int:
     eff_pairs = (thr[hi] / thr[lo]) / (hi / lo)
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    out_path = os.environ.get("FZ_BENCH_OUT", "BENCH/BASELINE.md")
+    with open(out_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling efficiency (N vs 4N parallelism)
 
