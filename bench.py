@@ -120,7 +120,7 @@ def main() -> int:
     bench("cosine_topk", lambda: ann.cosine_topk(probes, emb, "vec_id", "v", k=10).count())
 
     # 8. the ER pipeline on a synthetic corpus scaled by sf
-    n_entities = max(int(2_000_000 * float(sf)), 500)
+    n_entities = max(int(500_000 * float(sf)), 500)
     ckpt = tempfile.mkdtemp(prefix="fz_bench_er_")
     t0 = time.time()
     out = er_pipeline(
@@ -128,8 +128,12 @@ def main() -> int:
     )
     runner = out["runner"]
     timings["er_pipeline"] = round(time.time() - t0, 3)
-    n_pairs = runner.metric("pairs", "rows") or 0
-    score_wall = runner.manifests["edges"]["wall_s"] or 1e-9
+    n_pairs = (
+        runner.metric("pairs", "raw_candidates") or runner.metric("pairs", "rows") or 0
+    )
+    score_wall = (
+        runner.manifests["pairs"]["wall_s"] + runner.manifests["edges"]["wall_s"]
+    ) or 1e-9
     extras["er_docs"] = runner.metric("keys", "rows")
     extras["er_candidate_pairs"] = n_pairs
     extras["er_pairs_scored_per_sec"] = round(n_pairs / score_wall, 1)
