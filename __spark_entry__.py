@@ -36,6 +36,12 @@ def _part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NAMES_SQL = "(SELECT DISTINCT p_name AS name FROM part)"
 
+#: Sidecar directory for oracle inputs that DuckDB cannot derive from the
+#: base tables (python soundex codes, ER edge sets, simhash signatures).
+#: The driver runs the Spark query BEFORE its oracle SQL, so the query
+#: callable writes these and the oracle reads them with read_parquet().
+_SIDECAR = "/tmp/fz_oracle_sidecar"
+
 
 def _string_join(spark, sf_dir, method, tau, q=2, run_tau=None):
     from fozzie_spark import fuzzy_string_join
@@ -60,6 +66,14 @@ def _string_join(spark, sf_dir, method, tau, q=2, run_tau=None):
             F.round(F.greatest("dist", F.lit(0.0)), 6).alias("dist"),  # clamp -0.0
         )
     )
+
+
+def _soundex_codes(names):
+    """(name, p, alt) dual NA-soundex codes — sidecar input for the
+    soundex-join oracle."""
+    from fozzie_spark.joins import soundex_codes
+
+    return soundex_codes(names, "name", "p", "alt")
 
 
 # 2-gram list for a DuckDB string expression
@@ -88,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fuzzy_string_join,
         interval_join,
         regex_join,
+        temporal_interval_join,
         temporal_join,
     )
     from fozzie_spark import ann, textops
@@ -105,12 +120,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["string_qgram_inner"] = lambda s, d: _string_join(s, d, "qgram", 2, q=2)
     q["string_cosine_inner"] = lambda s, d: _string_join(s, d, "cosine", 0.6, q=2)
     q["string_jw_inner"] = lambda s, d: _string_join(s, d, "jw", 0.25, run_tau=0.2501)
-    q["string_soundex_inner"] = lambda s, d: (  # rows-only (NA-dual soundex has no SQL analog)
-        fuzzy_string_join(
-            _part_names(s, d), _part_names(s, d), by="name", method="soundex",
-            how="inner", suffixes=("_x", "_y"),
-        ).where(F.col("name_x") <= F.col("name_y")).select("name_x", "name_y")
-    )
+
+    def _soundex(s, d):
+        # The ENCODER (NA dual soundex) is pinned by pytest goldens ported
+        # from the reference tests; the oracle verifies the JOIN semantics
+        # (4-combination code blocking + dedup + materialization) over a
+        # sidecar of the per-name codes.
+        names = _part_names(s, d)
+        _soundex_codes(names).coalesce(1).write.mode("overwrite").parquet(f"{_SIDECAR}/soundex")
+        return (
+            fuzzy_string_join(
+                names, names, by="name", method="soundex",
+                how="inner", suffixes=("_x", "_y"),
+            ).where(F.col("name_x") <= F.col("name_y")).select("name_x", "name_y")
+        )
+
+    q["string_soundex_inner"] = _soundex
 
     # ---- join modes (lv tau=1) -------------------------------------------
     def _lv_mode(s, d, how):
@@ -123,9 +148,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("name_x", "name_y", F.round("dist", 6).alias("dist"))
 
     q["string_lv_left"] = lambda s, d: _lv_mode(s, d, "left")
+    q["string_lv_right"] = lambda s, d: _lv_mode(s, d, "right")
     q["string_lv_full"] = lambda s, d: _lv_mode(s, d, "full")
     q["string_lv_semi"] = lambda s, d: _lv_mode(s, d, "semi")
     q["string_lv_anti"] = lambda s, d: _lv_mode(s, d, "anti")
+
+    # ---- multi-key string join (reference distance-matrix naming) ---------
+    def _multikey(s, d):
+        p = s.read.parquet(f"{d}/part.parquet").select("p_name", "p_brand").distinct()
+        out = fuzzy_string_join(
+            p, p, by=["p_name", "p_brand"], method="lv", how="inner",
+            max_distance=1, distance_col="dist", suffixes=("_x", "_y"),
+        )
+        return out.select(
+            "p_name_x", "p_brand_x", "p_name_y", "p_brand_y",
+            F.round("dist_p_name_p_name", 6).alias("dist_p_name_p_name"),
+            F.round("dist_p_brand_p_brand", 6).alias("dist_p_brand_p_brand"),
+        )
+
+    q["string_multikey_inner"] = _multikey
 
     # ---- difference / temporal -------------------------------------------
     def _diff(s, d):
@@ -181,6 +222,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distance_inner"] = _dist
 
+    def _dist_manhattan(s, d):
+        li = (
+            s.read.parquet(f"{d}/lineitem.parquet")
+            .select(F.col("l_discount").alias("disc"), F.col("l_tax").alias("tax"))
+            .distinct()
+        )
+        out = distance_join(
+            li, li, by=["disc", "tax"], method="manhattan", max_distance=0.02,
+            distance_col="dist", suffixes=("_x", "_y"),
+        )
+        return out.select(
+            "disc_x", "tax_x", "disc_y", "tax_y", F.round("dist", 6).alias("dist")
+        )
+
+    q["distance_manhattan_inner"] = _dist_manhattan
+
     # ---- interval joins -----------------------------------------------------
     def _interval_real(s, d):
         o = (
@@ -231,6 +288,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["interval_within_inner"] = _interval_within
 
+    def _int_parts(s, d):
+        return (
+            s.read.parquet(f"{d}/part.parquet")
+            .select(F.col("p_size").alias("s"), (F.col("p_size") + 2).alias("e"))
+            .distinct()
+        )
+
+    def _interval_variant(s, d, **kw):
+        p = _int_parts(s, d)
+        out = interval_join(
+            p, p, by={"s": "s", "e": "e"}, interval_mode="integer", suffixes=("_x", "_y"), **kw
+        )
+        return out.select("s_x", "e_x", "s_y", "e_y")
+
+    q["interval_maxgap_inner"] = lambda s, d: _interval_variant(s, d, maxgap=1)
+    q["interval_minoverlap_inner"] = lambda s, d: _interval_variant(s, d, minoverlap=2)
+    q["interval_start_inner"] = lambda s, d: _interval_variant(s, d, overlap_type="start")
+    q["interval_end_inner"] = lambda s, d: _interval_variant(s, d, overlap_type="end")
+
+    # ---- temporal interval join (Date/timestamp ranges) --------------------
+    def _temporal_interval(s, d):
+        ev = (
+            s.read.parquet(f"{d}/events.parquet")
+            .where(F.col("event_type") == "error")
+            .select(
+                "event_id",
+                F.col("ts").alias("ts_s"),
+                (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ts_e"),
+            )
+        )
+        out = temporal_interval_join(
+            ev,
+            ev.select(
+                F.col("event_id").alias("event_id2"),
+                F.col("ts_s").alias("ts_s2"),
+                F.col("ts_e").alias("ts_e2"),
+            ),
+            by={"ts_s": "ts_s2", "ts_e": "ts_e2"},
+            maxgap=60,
+            unit="seconds",
+            suffixes=("_x", "_y"),
+        )
+        return out.where(F.col("event_id") < F.col("event_id2")).select("event_id", "event_id2")
+
+    q["temporal_interval_inner"] = _temporal_interval
+
     # ---- regex join ----------------------------------------------------------
     def _regex(s, d):
         docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "text")
@@ -258,9 +361,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), "doc_id", "text", num_hashes=64, bands=16, shingle_w=3, max_distance=0.6
     ).select("id1", "id2", F.round("jaccard_dist", 6).alias("dist"))
 
-    q["simhash_pairs"] = lambda s, d: textops.simhash_near_pairs(  # rows-only (xxhash64)
-        textops.simhash(_docs(s, d), "doc_id", "text", shingle_w=2), max_hamming=8
-    ).select("id1", "id2", F.col("hamming").cast("bigint").alias("hamming"))
+    def _simhash(s, d):
+        # Signature computation (xxhash64) has no DuckDB analog, so the
+        # signatures are written as a sidecar and the oracle brute-forces
+        # hamming pairs over them — verifying that the pigeonhole chunk
+        # blocking (n_chunks = max_hamming + 1 => full recall) finds
+        # EXACTLY the pairs a cross join would.
+        sh = textops.simhash(_docs(s, d), "doc_id", "text", shingle_w=2)
+        sh.coalesce(1).write.mode("overwrite").parquet(f"{_SIDECAR}/simhash")
+        return textops.simhash_near_pairs(sh, max_hamming=8).select(
+            "id1", "id2", F.col("hamming").cast("bigint").alias("hamming")
+        )
+
+    q["simhash_pairs"] = _simhash
 
     q["token_counts"] = lambda s, d: textops.token_counts(_docs(s, d), "text").select(
         "doc_id",
@@ -318,9 +431,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
     )
 
-    # ---- ER pipeline (rows-only: multi-stage, non-SQL) --------------------------
+    # ---- ER pipeline ----------------------------------------------------------
     def _er(s, d):
+        # Output is (doc_id, entity_rep = min doc_id in the predicted
+        # cluster) — a canonical form both engines can produce. The oracle
+        # re-derives clusters INDEPENDENTLY with a recursive-CTE connected
+        # components over the sidecar'd edge set (key strings) + key table,
+        # so stage-3/4/5 semantics (key-space clustering, doc assignment)
+        # are fully oracle-gated; edge DISCOVERY exactness is separately
+        # pinned by the jaccard_dedup/minhash oracles and the labeled-F1
+        # scaling runs.
         import tempfile
+
+        from pyspark.sql import Window
 
         from fozzie_spark.pipeline import er_pipeline
         from fozzie_spark.synth import synth_documents
@@ -329,7 +452,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = er_pipeline(
             s, docs, checkpoint_dir=tempfile.mkdtemp(prefix="fz_er_"), resume=False
         )
-        return out["entities"].select("doc_id", "entity_id")
+        keys = out["keys"]
+        keys.select("doc_id", "key").coalesce(1).write.mode("overwrite").parquet(
+            f"{_SIDECAR}/er_keys"
+        )
+        uniq = keys.select("kid", "key").distinct()
+        (
+            out["edges"]
+            .join(uniq.select("kid", F.col("key").alias("key1")), "kid")
+            .join(
+                uniq.select(F.col("kid").alias("kid2"), F.col("key").alias("key2")), "kid2"
+            )
+            .select("key1", "key2")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{_SIDECAR}/er_edges")
+        )
+        ents = out["entities"].select("doc_id", "entity_id")
+        w = Window.partitionBy("entity_id")
+        return ents.select("doc_id", F.min("doc_id").over(w).alias("entity_rep"))
 
     q["er_entities"] = _er
 
@@ -438,6 +579,31 @@ def oracle_sql() -> dict[str, str]:
                     ELSE levenshtein(a.name, b.name) END AS DOUBLE), 6) AS dist
         FROM {N} a LEFT JOIN {N} b ON levenshtein(a.name, b.name) <= 1
     """
+    o["string_lv_right"] = f"""
+        SELECT a.name AS name_x, b.name AS name_y,
+               round(CAST(CASE WHEN a.name IS NULL THEN NULL
+                    ELSE levenshtein(a.name, b.name) END AS DOUBLE), 6) AS dist
+        FROM {N} a RIGHT JOIN {N} b ON levenshtein(a.name, b.name) <= 1
+    """
+    o["string_multikey_inner"] = """
+        WITH t AS (SELECT DISTINCT p_name, p_brand FROM part)
+        SELECT a.p_name AS p_name_x, a.p_brand AS p_brand_x,
+               b.p_name AS p_name_y, b.p_brand AS p_brand_y,
+               round(CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE), 6)
+                   AS dist_p_name_p_name,
+               round(CAST(levenshtein(a.p_brand, b.p_brand) AS DOUBLE), 6)
+                   AS dist_p_brand_p_brand
+        FROM t a, t b
+        WHERE levenshtein(a.p_name, b.p_name) <= 1
+          AND levenshtein(a.p_brand, b.p_brand) <= 1
+    """
+    o["string_soundex_inner"] = f"""
+        WITH c AS (SELECT * FROM read_parquet('{_SIDECAR}/soundex/*.parquet'))
+        SELECT a.name AS name_x, b.name AS name_y
+        FROM c a, c b
+        WHERE a.name <= b.name
+          AND (a.p = b.p OR a.alt = b.p OR b.alt = a.p OR a.alt = b.alt)
+    """
     o["string_lv_full"] = f"""
         SELECT a.name AS name_x, b.name AS name_y,
                round(CAST(CASE WHEN a.name IS NULL OR b.name IS NULL THEN NULL
@@ -482,6 +648,48 @@ def oracle_sql() -> dict[str, str]:
         FROM t a, t b
         WHERE sqrt((a.disc - b.disc) * (a.disc - b.disc)
                  + (a.tax - b.tax) * (a.tax - b.tax)) <= 0.02
+    """
+    o["distance_manhattan_inner"] = """
+        WITH t AS (SELECT DISTINCT l_discount AS disc, l_tax AS tax FROM lineitem)
+        SELECT a.disc AS disc_x, a.tax AS tax_x, b.disc AS disc_y, b.tax AS tax_y,
+               round(abs(a.disc - b.disc) + abs(a.tax - b.tax), 6) AS dist
+        FROM t a, t b
+        WHERE abs(a.disc - b.disc) + abs(a.tax - b.tax) <= 0.02
+    """
+    _INT_T = "SELECT DISTINCT p_size AS s, p_size + 2 AS e FROM part"
+    _INT_GAP = (
+        "(CASE WHEN a.e < b.s THEN b.s - a.e - 1 "
+        "WHEN b.e < a.s THEN a.s - b.e - 1 ELSE 0 END)"
+    )
+    _INT_OVL = "greatest(least(a.e, b.e) - greatest(a.s, b.s) + 1, 0)"
+    o["interval_maxgap_inner"] = f"""
+        WITH t AS ({_INT_T})
+        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y
+        FROM t a, t b WHERE {_INT_GAP} <= 1
+    """
+    o["interval_minoverlap_inner"] = f"""
+        WITH t AS ({_INT_T})
+        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y
+        FROM t a, t b WHERE {_INT_GAP} <= 0 AND {_INT_OVL} >= 2
+    """
+    o["interval_start_inner"] = f"""
+        WITH t AS ({_INT_T})
+        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y
+        FROM t a, t b WHERE {_INT_GAP} <= 0 AND abs(a.s - b.s) <= 0
+    """
+    o["interval_end_inner"] = f"""
+        WITH t AS ({_INT_T})
+        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y
+        FROM t a, t b WHERE {_INT_GAP} <= 0 AND abs(a.e - b.e) <= 0
+    """
+    o["temporal_interval_inner"] = """
+        WITH t AS (SELECT event_id, epoch(ts) AS s, epoch(ts) + 600.0 AS e
+                   FROM events WHERE event_type = 'error')
+        SELECT a.event_id, b.event_id AS event_id2
+        FROM t a, t b
+        WHERE a.event_id < b.event_id
+          AND (CASE WHEN a.e < b.s THEN b.s - a.e
+                    WHEN b.e < a.s THEN a.s - b.e ELSE 0 END) <= 60
     """
     o["interval_real_inner"] = """
         WITH t AS (SELECT o_orderkey AS k, o_totalprice AS s, o_totalprice + 20000.0 AS e
@@ -631,6 +839,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT n AS node, least(n, min(r.b)) AS component
         FROM nodes LEFT JOIN reach r ON r.a = n
         GROUP BY n
+    """
+    o["simhash_pairs"] = f"""
+        WITH s AS (SELECT * FROM read_parquet('{_SIDECAR}/simhash/*.parquet')),
+        p AS (
+          SELECT a.id AS id1, b.id AS id2, bit_count(xor(a.simhash, b.simhash)) AS h
+          FROM s a, s b WHERE a.id < b.id
+        )
+        SELECT id1, id2, CAST(h AS BIGINT) AS hamming FROM p WHERE h <= 8
+    """
+    o["er_entities"] = f"""
+        WITH RECURSIVE
+        docs AS (SELECT * FROM read_parquet('{_SIDECAR}/er_keys/*.parquet')),
+        e AS (SELECT key1 AS a, key2 AS b
+              FROM read_parquet('{_SIDECAR}/er_edges/*.parquet')),
+        und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        comp AS (SELECT a AS k, least(a, min(b)) AS c FROM reach GROUP BY a),
+        keyed AS (
+          SELECT d.doc_id, coalesce(c.c, d.key) AS comp
+          FROM docs d LEFT JOIN comp c ON c.k = d.key
+        )
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY comp) AS entity_rep FROM keyed
     """
     o["cosine_pairs"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

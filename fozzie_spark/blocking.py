@@ -189,6 +189,115 @@ def cross_candidates(lkeys: DataFrame, rkeys: DataFrame, lkey: str, rkey: str) -
     return lkeys.select(lkey).crossJoin(rkeys.select(rkey))
 
 
+def jaro_candidates(
+    lkeys: DataFrame,
+    rkeys: DataFrame,
+    lkey: str,
+    rkey: str,
+    max_distance: float,
+    prefix_weight: float = 0.0,
+) -> DataFrame:
+    """Sound candidate pruning for jaro / jaro-winkler (replaces the cross
+    join the reference uses, jaro_winkler.rs:98-133).
+
+    Derivation: jaro_sim = (m/|a| + m/|b| + (m-t)/m)/3 with m = matched
+    chars, and (m-t)/m <= 1, so jaro_sim >= s (s = 1 - max_distance) forces
+        m >= (3s-1) * |a||b| / (|a|+|b|)                        (count bound)
+    and m is at most the multiset char overlap sum_c min(cnt_a, cnt_b).
+    The fozziejoin jw quirk ADDS the prefix term (d' = d + l*w*(1-d),
+    jaro_winkler.rs:66-76), so for w >= 0 the jaro bound transfers to jw.
+
+    Blocking = PPJoin-style prefix filtering on (char, occurrence) tokens:
+    multiset overlap >= alpha implies the (globally rarity-ordered) prefixes
+    of length n - alpha + 1 intersect, so a token equi-join over prefixes is
+    a strict candidate superset; a per-pair count-bound filter prunes after.
+    Used only when s > 1/3 (bound vacuous otherwise) and w >= 0 — the caller
+    falls back to the cross join outside that regime.
+
+    Both-empty pairs (jaro_sim = 1, dist 0) have no tokens: dedicated block.
+    One-side-empty pairs have jaro_sim 0, unreachable when s > 1/3.
+    """
+    from pyspark.sql import Window
+
+    s = 1.0 - float(max_distance)
+    if s <= 1.0 / 3.0 or prefix_weight < 0:
+        return cross_candidates(lkeys, rkeys, lkey, rkey)
+
+    def _tokens(keys: DataFrame, key: str) -> DataFrame:
+        # (key, token) with token = char + '#' + occurrence (multiset -> set)
+        counts = (
+            keys.select(key, F.explode(qgrams_col(key, 1)).alias("__fz_ch"))
+            .groupBy(key, "__fz_ch")
+            .agg(F.count(F.lit(1)).alias("__fz_c"))
+        )
+        return counts.select(
+            key,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__fz_c")),
+                    lambda k: F.concat(F.col("__fz_ch"), F.lit("#"), k.cast("string")),
+                )
+            ).alias("__fz_t"),
+        )
+
+    lt, rt = _tokens(lkeys, lkey), _tokens(rkeys, rkey)
+    # global token rarity over BOTH sides (prefix theorem needs one shared
+    # total order); the token-df table is tiny (alphabet x max multiplicity)
+    tok_df = (
+        lt.select("__fz_t")
+        .unionByName(rt.select("__fz_t"))
+        .groupBy("__fz_t")
+        .agg(F.count(F.lit(1)).alias("__fz_df"))
+    )
+
+    def _prefix(toks: DataFrame, key: str) -> DataFrame:
+        n = F.length(key)
+        # weakest admissible partner length (from min >= max*(3s-2))
+        lb_min = F.greatest(F.lit(1), F.ceil(n * F.lit(3 * s - 2)))
+        alpha = F.greatest(
+            F.lit(1),
+            F.ceil(F.lit(3 * s - 1) * n * lb_min / (n + lb_min) - F.lit(1e-9)),
+        )
+        plen = F.greatest(n - alpha + 1, F.lit(1))
+        w = Window.partitionBy(key).orderBy(F.col("__fz_df").asc(), F.col("__fz_t").asc())
+        return (
+            toks.join(F.broadcast(tok_df), "__fz_t")
+            .withColumn("__fz_rn", F.row_number().over(w))
+            .where(F.col("__fz_rn") <= plen)
+            .select(key, "__fz_t")
+        )
+
+    pairs = (
+        _prefix(lt, lkey)
+        .join(_prefix(rt, rkey), "__fz_t")
+        .select(lkey, rkey)
+        .distinct()
+        .withColumn("__fz_ll", F.length(lkey))
+        .withColumn("__fz_rl", F.length(rkey))
+        .where(
+            F.least("__fz_ll", "__fz_rl")
+            >= F.ceil(
+                F.lit(3 * s - 1)
+                * F.col("__fz_ll")
+                * F.col("__fz_rl")
+                / (F.col("__fz_ll") + F.col("__fz_rl"))
+                - F.lit(1e-9)
+            )
+        )
+        .select(lkey, rkey)
+    )
+    empties = (
+        lkeys.select(lkey)
+        .where(F.length(lkey) == 0)
+        .join(
+            rkeys.select(rkey).where(F.length(rkey) == 0),
+            F.length(lkey) == F.length(rkey),  # both 0 — equi-join, not BNLJ
+        )
+        .select(lkey, rkey)
+    )
+    return pairs.unionByName(empties)
+
+
 def band_candidates(
     lkeys: DataFrame, rkeys: DataFrame, lkey: str, rkey: str, max_distance: float
 ) -> DataFrame:

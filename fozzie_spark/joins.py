@@ -144,8 +144,11 @@ def fuzzy_string_join(
         cand = blocking.ngram_candidates(l0, r0, "__fz_l0", "__fz_r0", method, max_distance, q)
     elif method == "soundex":
         cand = _soundex_candidates(l0, r0)
-    else:  # jaro / jw — no sound pruning exists; reference cross-products too
-        cand = blocking.cross_candidates(l0, r0, "__fz_l0", "__fz_r0")
+    else:  # jaro / jw: prefix-filtered char-token index (cross join only
+        # when the count bound is vacuous: tau >= 2/3 or negative weight)
+        cand = blocking.jaro_candidates(
+            l0, r0, "__fz_l0", "__fz_r0", max_distance, prefix_weight=prefix_weight
+        )
 
     pairs = _expand_tuples(cand, lkeys, rkeys, len(by_pairs))
     if scoring_partitions:
@@ -198,15 +201,16 @@ def _install_directional():
             g[f"{stem}_{how}_join"] = _make_directional(g[base_name], how)
 
 
-def _soundex_candidates(l0: DataFrame, r0: DataFrame) -> DataFrame:
-    """Equality blocking on dual soundex codes; a pair is a candidate (and a
-    match — distance is always 0) iff any of the 4 primary/alt code
-    combinations agree (soundex.rs:49-53)."""
+def soundex_codes(df: DataFrame, key: str, primary: str, alt: str) -> DataFrame:
+    """(key, primary, alt) dual NA-soundex codes, one Arrow batch pass.
+
+    Codes are packed "PRIMARY|ALT" in one string and split JVM-side because
+    struct returns from scalar pandas UDFs are not supported in this
+    PySpark build. ref: src/rust/src/string/soundex.rs:153-206.
+    """
     from fozzie_spark.distances import soundex_dual
 
     def _codes(s: pd.Series) -> pd.Series:
-        # "PRIMARY|ALT" packed in one string; split JVM-side (struct returns
-        # from scalar pandas UDFs are not supported in this PySpark build)
         return pd.Series(
             [
                 None if x is None else "|".join(v if v is not None else "" for v in soundex_dual(x))
@@ -215,17 +219,21 @@ def _soundex_candidates(l0: DataFrame, r0: DataFrame) -> DataFrame:
         )
 
     codes_udf = F.pandas_udf(_codes, "string")
+    packed = F.split(codes_udf(F.col(key)), r"\|")
+    return df.select(
+        key,
+        packed.getItem(0).alias(primary),
+        F.nullif(packed.getItem(1), F.lit("")).alias(alt),
+    )
 
-    def _with_codes(df, key, p, a):
-        packed = F.split(codes_udf(F.col(key)), r"\|")
-        return df.select(
-            key,
-            packed.getItem(0).alias(p),
-            F.nullif(packed.getItem(1), F.lit("")).alias(a),
-        )
 
-    lc = _with_codes(l0, "__fz_l0", "__fz_pl", "__fz_al")
-    rc = _with_codes(r0, "__fz_r0", "__fz_pr", "__fz_ar")
+def _soundex_candidates(l0: DataFrame, r0: DataFrame) -> DataFrame:
+    """Equality blocking on dual soundex codes; a pair is a candidate (and a
+    match — distance is always 0) iff any of the 4 primary/alt code
+    combinations agree (soundex.rs:49-53). The coded frames are persisted so
+    the (Python) encoder UDF runs once per side, not once per combo join."""
+    lc = soundex_codes(l0, "__fz_l0", "__fz_pl", "__fz_al").persist()
+    rc = soundex_codes(r0, "__fz_r0", "__fz_pr", "__fz_ar").persist()
     combos = [
         lc.join(rc, F.col("__fz_pl") == F.col("__fz_pr")),
         lc.join(rc, F.col("__fz_al") == F.col("__fz_pr")),

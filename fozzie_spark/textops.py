@@ -227,10 +227,27 @@ def simhash(df: DataFrame, id_col: str, text_col: str, shingle_w: int = 2) -> Da
     return agg.select("id", expr.alias("simhash"))
 
 
-def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3, n_chunks: int | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via the
-    pigeonhole band trick: split 64 bits into 4 16-bit chunks; any pair
-    within hamming 3 agrees on >= 1 chunk -> equi-join per chunk."""
+    pigeonhole band trick: split the 64 bits into `n_chunks` contiguous
+    chunks; a pair within hamming h differs in at most h chunks, so with
+    n_chunks = h + 1 (the default) it MUST agree on >= 1 chunk -> the
+    chunk equi-join has FULL recall. Passing a smaller n_chunks trades
+    recall for fewer/larger blocks (collision prob per chunk grows as
+    chunk width shrinks, so very large h wants explicit tuning)."""
+    c = n_chunks if n_chunks is not None else min(max_hamming + 1, 32)
+    if c < max_hamming + 1:
+        import warnings
+
+        warnings.warn(
+            f"simhash_near_pairs: {c} chunks guarantee recall only for "
+            f"hamming <= {c - 1}, but max_hamming={max_hamming} — results are "
+            "a (deterministic) subset",
+            stacklevel=2,
+        )
+    base, rem = divmod(64, c)
+    widths = [base + 1 if i < rem else base for i in range(c)]
+    offsets = [sum(widths[:i]) for i in range(c)]
     chunks = sh.select(
         "id",
         "simhash",
@@ -239,9 +256,11 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("c"),
-                        F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                        F.shiftright("simhash", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("v"),
                     )
-                    for i in range(4)
+                    for i in range(c)
                 ]
             )
         ).alias("ch"),
