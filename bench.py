@@ -118,6 +118,20 @@ def main() -> int:
     emb = rd("embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     probes = emb.where(F.col("vec_id") < 100)
     bench("cosine_topk", lambda: ann.cosine_topk(probes, emb, "vec_id", "v", k=10).count())
+    # 7b. LSH near-pair recall vs exact (the scale path's quality number)
+    t0 = time.time()
+    exact_pairs = {
+        (r["id1"], r["id2"])
+        for r in ann.cosine_pairs(emb, "vec_id", "v", min_cosine=0.4, strategy="exact").collect()
+    }
+    lsh_pairs = {
+        (r["id1"], r["id2"])
+        for r in ann.lsh_cosine_pairs(emb, "vec_id", "v", min_cosine=0.4,
+                                      n_planes=16, bands=8).collect()
+    }
+    timings["lsh_pairs"] = round(time.time() - t0, 3)
+    extras["lsh_recall"] = round(len(lsh_pairs & exact_pairs) / max(len(exact_pairs), 1), 4)
+    print(f"lsh_pairs: {timings['lsh_pairs']}s recall={extras['lsh_recall']}", file=sys.stderr)
 
     # 8. the ER pipeline on a synthetic corpus scaled by sf
     n_entities = max(int(500_000 * float(sf)), 500)
@@ -150,6 +164,7 @@ def main() -> int:
         "er_pairs_scored_per_sec": extras["er_pairs_scored_per_sec"],
         "er_candidate_pairs": extras["er_candidate_pairs"],
         "er_docs": extras["er_docs"],
+        "lsh_recall": extras["lsh_recall"],
     }
     print(json.dumps(result))
     spark.stop()

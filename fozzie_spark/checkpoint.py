@@ -11,7 +11,11 @@ ordering: data first, manifest last; a stage with no manifest is re-run).
 Resume contract: a stage re-uses its materialized output iff its manifest
 exists and the recorded config hash matches the current one (config hash
 covers the stage name, params, and upstream stage hashes — a changed
-upstream invalidates everything downstream).
+upstream invalidates everything downstream). Callers should fold an input
+fingerprint into run_config (er_pipeline passes the input plan's
+semanticHash) so a different input invalidates too; NOT covered: in-place
+mutation of the same input path between runs — resuming over that returns
+the stale stage outputs, same as any path-keyed cache.
 """
 
 from __future__ import annotations

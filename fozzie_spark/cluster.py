@@ -54,10 +54,18 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 30,
     checkpoint_every: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`.
 
     Edges are undirected; self-loops ignored. Component id = min node id.
+
+    Lineage is cut each `checkpoint_every` rounds. Default: localCheckpoint
+    (executor-memory blocks — fast, but NOT tolerant to executor loss).
+    Pass `checkpoint_dir` for RELIABLE rounds: each cut writes a parquet
+    stage table and re-reads it, so a lost executor (or a restarted job
+    reusing the dir) replays from the last round instead of dying — the
+    right mode on a real cluster / the 100 TB path.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -70,7 +78,12 @@ def connected_components(
     for i in range(max_iter):
         e = _small_star(_large_star(e))
         if checkpoint_every and i % checkpoint_every == 0:
-            e = e.localCheckpoint(eager=True)
+            if checkpoint_dir:
+                path = f"{checkpoint_dir.rstrip('/')}/cc_round_{i}"
+                e.write.mode("overwrite").parquet(path)
+                e = e.sparkSession.read.parquet(path)
+            else:
+                e = e.localCheckpoint(eager=True)
         fp = _fingerprint(e)
         if fp == prev_fp:
             break

@@ -562,7 +562,23 @@ EDIT_METHODS = frozenset(["levenshtein", "lv", "osa", "damerau_levenshtein", "dl
 NGRAM_METHODS = frozenset(["qgram", "cosine", "jaccard"])
 
 
-def score_batch(method: str, left, right, **params) -> np.ndarray:
+#: batches at least this large route to the NumPy-vectorized kernels
+#: (below it the padding/setup overhead beats the per-pair loop)
+VEC_MIN_BATCH = 32
+
+
+def score_batch(method: str, left, right, use_vectorized: bool | None = None, **params) -> np.ndarray:
+    """Batch scorer dispatch: NumPy-vectorized kernels (distances_vec) for
+    big batches of the DP methods, the per-pair pure scorers otherwise.
+    Both paths are elementwise-identical (pinned by property tests)."""
+    if use_vectorized is None:
+        use_vectorized = len(left) >= VEC_MIN_BATCH
+    if use_vectorized:
+        from fozzie_spark import distances_vec
+
+        vfn = distances_vec.METHODS.get(method)
+        if vfn is not None:
+            return vfn(left, right, **params)
     fn = METHODS.get(method)
     if fn is None:
         raise ValueError(f"unknown string-distance method: {method!r}")

@@ -430,11 +430,15 @@ def interval_join(
     interval_mode: str = "auto",
     suffixes: tuple[str, str] = (".x", ".y"),
     bin_width: float | None = None,
+    validate: bool = True,
 ) -> DataFrame:
     """Interval overlap join (R/fozzie_interval_join.R:47-83).
 
     `by` must contain exactly two entries: (start, end). Auto mode picks
     integer semantics iff all four columns are integral (lines 60-70).
+    Invalid intervals (start > end) raise at execution time, mirroring the
+    reference's eager validation (interval/real.rs:47-63); pass
+    validate=False to skip the check.
 
     Integer mode (IRanges-like, interval/integer.rs:106-129):
         gap = rs-le-1 | ls-re-1 | 0;  overlap = min(e)-max(s)+1
@@ -464,6 +468,20 @@ def interval_join(
         raise ValueError(f"unknown interval_mode {interval_mode!r}")
 
     lkeys, rkeys = _key_frames(left, right, by_pairs)
+
+    if validate:
+        # assert_true raises (SparkRuntimeException) on the first invalid
+        # interval, like the reference (interval/real.rs:47-63); the filter
+        # wrapper forces per-row evaluation without changing the row set
+        def _checked(keys, s_col, e_col, side):
+            ok = F.assert_true(
+                F.col(s_col) <= F.col(e_col),
+                F.lit(f"interval_join: {side} interval with start > end"),
+            )
+            return keys.filter(ok.isNull())
+
+        lkeys = _checked(lkeys, "__fz_l0", "__fz_l1", "left")
+        rkeys = _checked(rkeys, "__fz_r0", "__fz_r1", "right")
 
     if bin_width is None:
         stats = [

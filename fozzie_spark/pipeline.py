@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from fozzie_spark.blocking import qgrams_col
 from fozzie_spark.checkpoint import StageRunner
 from fozzie_spark.cluster import connected_components
-from fozzie_spark.scoring import string_distance_udf
+from fozzie_spark.scoring import jvm_distance_col, string_distance_udf
 from fozzie_spark.synth import doc_text_key
 
 
@@ -62,6 +62,7 @@ def er_pipeline(
     sn_window: int | None = 10,
     resume: bool = True,
     table_format: str = "parquet",
+    reliable_cc: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the pipeline; returns dict of stage DataFrames
     (keys, pairs, edges, clusters, entities)."""
@@ -73,6 +74,12 @@ def er_pipeline(
         "salt_partitions": salt_partitions,
         "sn_window": sn_window,
         "ids": "xxh64x2",
+        # input identity folded into the resume hash: same checkpoint_dir +
+        # params but a DIFFERENT input plan (other path/table/synth args)
+        # must invalidate, not silently resume. semanticHash fingerprints
+        # the logical plan (paths + schema + expressions); in-place mutation
+        # of the same path remains out of scope (documented in checkpoint.py).
+        "input_fingerprint": docs.semanticHash(),
     }
     runner = StageRunner(
         spark, checkpoint_dir, run_config=params, resume=resume, table_format=table_format
@@ -87,6 +94,15 @@ def er_pipeline(
 
     keys = runner.stage("keys", _keys, params={"q": q})
     uniq = keys.select("key", "kid").where(F.col("key").isNotNull()).distinct().persist()
+
+    _uniq_n: list[int] = []
+
+    def _n_uniq() -> int:
+        """Distinct-key count, computed ONCE per run (the count job scans the
+        persisted `uniq`; pairs and edges both gate broadcasts on it)."""
+        if not _uniq_n:
+            _uniq_n.append(uniq.count())
+        return _uniq_n[0]
 
     # ---- stage 2: blocking on distinct keys -> candidate id pairs ----------
     def _pairs():
@@ -155,6 +171,23 @@ def er_pipeline(
             )
             cand = cand.unionByName(sn_ids)
 
+        if method == "jaccard" and max_distance < 1.0:
+            # short-key block: keys shorter than q have EMPTY gram profiles,
+            # never enter the inverted index, and jaccard(empty, empty) = 0
+            # — a definite match. Pair all empty-profile keys via an
+            # equi-join on floor(len/q) (identically 0 for them, but
+            # data-derived so Catalyst plans a hash join, not a BNLJ).
+            # Their pair count is the TRUE result size, not blocking slop.
+            sl = uniq.where(F.length("key") < q).select(
+                "kid", F.floor(F.length("key") / q).alias("__zb")
+            )
+            sp = (
+                sl.join(sl.select(F.col("kid").alias("kid2"), "__zb"), "__zb")
+                .where(F.col("kid") < F.col("kid2"))
+                .select("kid", "kid2")
+            )
+            cand = cand.unionByName(sp)
+
         # raw candidate count (duplicates NOT removed — each is one pair
         # evaluation) observed by the write action, no extra job
         from pyspark.sql import Observation
@@ -169,11 +202,17 @@ def er_pipeline(
         # ~50B/key) signature table — one AND+popcount per pair, map-only,
         # whole-stage codegen — then dedupe only the small survivor set.
         # A true match needs alpha = ceil(t/(1+t)(n1+n2)) shared grams;
-        # their bits survive the AND, and alpha random balls in 512 bins
-        # occupy >= floor(alpha/2)-2 bins except with vanishing probability
-        # (threshold clamps to 1, which is fully SOUND: one shared gram =>
-        # one shared bit). Random non-matching pairs pass at <1%; the Arrow
-        # scorer in the edges stage is the exact verifier for survivors.
+        # their bits survive the AND. The pass threshold floor(alpha/2)-2
+        # (clamped to 1) is NOT fully lossless for alpha >= 8: it assumes
+        # alpha distinct grams land in > floor(alpha/2)-2 of the 512 bins,
+        # which fails only if they collide into very few bins — probability
+        # < C(512,k)*(k/512)^alpha for k bins, i.e. < 1e-12 per pair at
+        # alpha=8 and vanishing faster for larger alpha. The clamp-to-1 case
+        # (alpha <= 7) IS sound: one shared gram => one shared bit. Random
+        # non-matching pairs pass at <1%; the exact verifier in the edges
+        # stage rescores every survivor, so the only effect of a (astronomically
+        # rare) false negative is one missed candidate, same failure class as
+        # the minhash-LSH band curve.
         if method == "jaccard":
 
             NSIG = 8  # 512-bit signature: grams PARTITIONED across 8 words
@@ -206,8 +245,12 @@ def er_pipeline(
                 F.size(hashed).alias("n"),
                 *[_sig(hashed, i).alias(f"s{i}") for i in range(NSIG)],
             )
-            # (beyond ~50M distinct keys drop the hint: shuffled join)
-            bcast = uniq.count() < 50_000_000
+            # Broadcast gate is SIZE-based, not row-based: each signature row
+            # is ~90 B (16 B kid + 64 B sig + n), so 8M rows ~ 0.7 GB — near
+            # the practical driver/executor comfort limit. Beyond that the
+            # hint is dropped and Catalyst plans a shuffled join (AQE can
+            # still convert if stats say otherwise).
+            bcast = _n_uniq() < 8_000_000
             a = sig_df.select(
                 "kid",
                 F.col("n").alias("na"),
@@ -239,14 +282,19 @@ def er_pipeline(
     def _edges():
         dict_a = uniq.select("kid", F.col("key").alias("__k1"))
         dict_b = uniq.select(F.col("kid").alias("kid2"), F.col("key").alias("__k2"))
-        bcast = uniq.count() < 5_000_000
-        if bcast:
+        if _n_uniq() < 5_000_000:
             dict_a, dict_b = F.broadcast(dict_a), F.broadcast(dict_b)
-        udf = string_distance_udf(method, max_distance=max_distance, q=q)
+        # JVM expression scoring when the method allows (jaccard/lv/...):
+        # the exact verifier then runs in whole-stage codegen with ZERO
+        # Python workers; the Arrow UDF covers the DP methods.
+        dist = jvm_distance_col(method, "__k1", "__k2", max_distance, q=q)
+        if dist is None:
+            udf = string_distance_udf(method, max_distance=max_distance, q=q)
+            dist = udf(F.col("__k1"), F.col("__k2"))
         return (
             scored_input.join(dict_a, "kid")
             .join(dict_b, "kid2")
-            .withColumn("dist", udf(F.col("__k1"), F.col("__k2")))
+            .withColumn("dist", dist)
             .where(F.col("dist") <= max_distance)
             .select("kid", "kid2", "dist")
         )
@@ -255,9 +303,15 @@ def er_pipeline(
 
     # ---- stage 4: transitive clustering over key ids ------------------------
     def _clusters():
-        return connected_components(edges, src="kid", dst="kid2").select(
-            F.col("node").alias("kid"), F.col("component").alias("entity_kid")
-        )
+        # reliable_cc: CC rounds checkpoint to stage tables under the run's
+        # checkpoint dir (executor-loss tolerant); default localCheckpoint
+        # is the right trade in local mode
+        return connected_components(
+            edges,
+            src="kid",
+            dst="kid2",
+            checkpoint_dir=f"{checkpoint_dir.rstrip('/')}/cc_rounds" if reliable_cc else None,
+        ).select(F.col("node").alias("kid"), F.col("component").alias("entity_kid"))
 
     clusters = runner.stage("clusters", _clusters, params=params, depends_on=("edges",))
 

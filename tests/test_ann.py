@@ -1,0 +1,54 @@
+"""ANN operators: exact/LSH agreement, recall pin, and auto-routing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fozzie_spark import ann
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .cache()
+    )
+
+
+def _pairs(df):
+    return {(r["id1"], r["id2"]) for r in df.collect()}
+
+
+def test_lsh_recall_vs_exact(emb):
+    exact = _pairs(ann.cosine_pairs(emb, "vec_id", "embedding", min_cosine=0.4,
+                                    strategy="exact"))
+    lsh = _pairs(ann.lsh_cosine_pairs(emb, "vec_id", "embedding", min_cosine=0.4,
+                                      n_planes=16, bands=8))
+    assert exact, "test corpus must contain near pairs"
+    assert lsh <= exact  # exact verification => precision 1.0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 ({len(lsh)}/{len(exact)})"
+
+
+def test_auto_routes_small_to_exact(emb):
+    # below the threshold auto == exact (bit-identical pair set)
+    auto = _pairs(ann.cosine_pairs(emb, "vec_id", "embedding", min_cosine=0.4))
+    exact = _pairs(ann.cosine_pairs(emb, "vec_id", "embedding", min_cosine=0.4,
+                                    strategy="exact"))
+    assert auto == exact
+
+
+def test_auto_routes_large_to_lsh(emb):
+    routed = _pairs(
+        ann.cosine_pairs(emb, "vec_id", "embedding", min_cosine=0.4, auto_threshold=10)
+    )
+    lsh = _pairs(ann.lsh_cosine_pairs(emb, "vec_id", "embedding", min_cosine=0.4,
+                                      n_planes=16, bands=8))
+    assert routed == lsh
+
+
+def test_strategy_validation(emb):
+    with pytest.raises(ValueError):
+        ann.cosine_pairs(emb, "vec_id", "embedding", strategy="bogus")

@@ -302,3 +302,18 @@ def test_temporal_interval_join(spark):
     assert out.count() == 2
     # output keeps original timestamp columns only
     assert set(out.columns) == {"start.x", "end.x", "start.y", "end.y"}
+
+
+# ---- interval validation (interval/real.rs:47-63) ---------------------------
+
+
+def test_interval_invalid_raises(spark):
+    good = spark.createDataFrame([(1.0, 2.0)], "s double, e double")
+    bad = spark.createDataFrame([(5.0, 3.0)], "s double, e double")
+    # raises on the first action (the bin-width stats job runs eagerly
+    # inside interval_join, so construction itself already trips it)
+    with pytest.raises(Exception, match="start > end"):
+        interval_join(good, bad, by=["s", "e"], interval_mode="real").collect()
+    # opt-out matches the old permissive behavior
+    out2 = interval_join(good, bad, by=["s", "e"], interval_mode="real", validate=False)
+    out2.collect()

@@ -137,3 +137,46 @@ def test_pipeline_identical_texts_cluster(spark, tmp_path):
     out = er_pipeline(spark, docs, checkpoint_dir=str(tmp_path), max_distance=0.2, q=3)
     ent = {r["doc_id"]: r["entity_id"] for r in out["entities"].collect()}
     assert ent["a"] == ent["b"] != ent["c"]
+
+
+def test_cc_reliable_checkpoint(spark, tmp_path):
+    edges = [(i, i + 1) for i in range(9)] + [(100, 101)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(df, checkpoint_dir=str(tmp_path)).collect()
+    }
+    assert all(cc[i] == 0 for i in range(10))
+    assert cc[100] == cc[101] == 100
+    # rounds materialized as parquet stage tables (resume/executor-loss safe)
+    rounds = [p for p in os.listdir(tmp_path) if p.startswith("cc_round_")]
+    assert rounds
+
+
+def test_pipeline_short_key_recall(spark, tmp_path):
+    # texts SHORTER than q have empty gram profiles — the dedicated
+    # short-key block must still pair them (jaccard(empty, empty) = 0)
+    def doc(i, text):
+        return (f"d{i}", [{"kind": "text", "text": text, "media_ref": None, "offset": 0}])
+
+    rows = [doc(0, "ab"), doc(1, "xy"), doc(2, "regular longer document text here")]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    out = er_pipeline(
+        spark, docs, checkpoint_dir=str(tmp_path), max_distance=0.4, q=4, sn_window=None
+    )
+    ent = {r["doc_id"]: r["entity_id"] for r in out["entities"].collect()}
+    # both sub-q texts have empty profiles => jaccard dist 0 => one entity
+    assert ent["d0"] == ent["d1"] != ent["d2"]
+
+
+def test_pipeline_input_change_invalidates_resume(spark, tmp_path):
+    ckpt = str(tmp_path)
+    docs1 = synth_documents(spark, 30, seed=1)
+    out1 = er_pipeline(spark, docs1, checkpoint_dir=ckpt)
+    n1 = out1["entities"].count()
+    # same params, DIFFERENT input plan: must re-run, not resume stale stages
+    docs2 = synth_documents(spark, 60, seed=2)
+    out2 = er_pipeline(spark, docs2, checkpoint_dir=ckpt)
+    assert out2["entities"].count() == docs2.count() != n1
