@@ -55,6 +55,13 @@ def main(argv=None) -> int:
     p.add_argument("--max-gram-df", type=int, default=10_000)
     p.add_argument("--salt-partitions", type=int)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument(
+        "--no-partition-metrics",
+        action="store_true",
+        help="skip the per-partition row-count job per stage (full-scale runs)",
+    )
+    p.add_argument("--reliable-cc", action="store_true",
+                   help="checkpoint CC rounds to parquet stage tables (cluster mode)")
     p.add_argument("--cpus", help="local[N] master override (omit under spark-submit)")
     p.add_argument("--shuffle-partitions", type=int)
     args = p.parse_args(argv)
@@ -83,28 +90,32 @@ def main(argv=None) -> int:
         max_gram_df=args.max_gram_df,
         salt_partitions=args.salt_partitions,
         resume=not args.no_resume,
+        reliable_cc=args.reliable_cc,
+        collect_metrics=not args.no_partition_metrics,
     )
     runner = out["runner"]
-    n_entities_rows = runner.metric("entities", "rows")
     wall = time.time() - t0
 
     if args.output:
         out["entities"].write.mode("overwrite").parquet(args.output)
 
-    n_pairs = (
-        runner.metric("pairs", "raw_candidates")
-        or runner.metric("pairs", "rows")
-        or 0
-    )
-    n_survivors = runner.metric("pairs", "rows") or 0
-    n_edges = runner.metric("edges", "rows") or 0
+    def _rows(stage):
+        # with --no-partition-metrics the manifest has no row counts; a
+        # count() on the materialized parquet stage is metadata-only
+        return runner.metric(stage, "rows") or out[stage].count()
+
+    n_entities_rows = _rows("entities")
+    n_survivors = _rows("pairs")
+    n_edges = _rows("edges")
+    n_docs = _rows("keys")
+    n_pairs = runner.metric("pairs", "raw_candidates") or n_survivors or 0
     stage_wall = {s: m["wall_s"] for s, m in runner.manifests.items()}
     # pairs/sec counts every raw candidate evaluated: the fused blocking +
     # JVM-refine stage evaluates each raw candidate exactly once, the Arrow
     # scoring stage re-scores survivors
     score_wall = (stage_wall.get("pairs", 0.0) + stage_wall.get("edges", 0.0)) or 1e-9
     result = {
-        "docs": runner.metric("keys", "rows"),
+        "docs": n_docs,
         "candidate_pairs": n_pairs,
         "surviving_pairs": n_survivors,
         "edges": n_edges,
@@ -112,7 +123,7 @@ def main(argv=None) -> int:
         "wall_s": round(wall, 3),
         "stage_wall_s": stage_wall,
         "pairs_scored_per_sec": round(n_pairs / score_wall, 1),
-        "docs_per_sec": round((runner.metric("keys", "rows") or 0) / wall, 1),
+        "docs_per_sec": round((n_docs or 0) / wall, 1),
     }
     print(json.dumps(result))
     return 0

@@ -1,17 +1,26 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode step is STUBBED in this environment (no PIL/ffmpeg/librosa in
-the container): `decode` raises NotImplementedError unless
-`deterministic_fake=True`, which substitutes a seeded hash-derived feature
-vector so the Spark-side plumbing — schema, batch shape, partitioning,
-UDF signature — is real and testable end-to-end. Swapping in a real
-decoder touches ONLY the `_decode_batch` body.
+Two decode paths:
+
+- `decode_media_features` — REAL decoders for formats parseable with the
+  stdlib + NumPy (no PIL/ffmpeg in this container): binary netpbm images
+  (P5 grayscale / P6 RGB) and RIFF/WAVE PCM audio. Decode, nearest-neighbor
+  thumbnail pooling, and windowed-RMS audio features all run vectorized on
+  the Arrow batch. Compressed formats (jpeg/png/mp4) raise
+  NotImplementedError with on_error="error" (default "skip" drops them) —
+  swapping in PIL/ffmpeg touches only `_decode_bytes`.
+- `extract_media_features` — for corpora that carry media by REFERENCE
+  (media_ref URIs, no bytes): fetch+decode is stubbed; pass
+  `deterministic_fake=True` for a seeded stand-in that keeps the plumbing
+  (schema, batch shape, partitioning) testable end-to-end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -79,6 +88,138 @@ def extract_media_features(
             )
 
     return refs.mapInPandas(_decode_batch, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real decoders (stdlib + NumPy)
+# ---------------------------------------------------------------------------
+
+
+def _decode_netpbm(data: bytes) -> np.ndarray:
+    """Binary netpbm (P5 gray / P6 RGB) -> uint8 array (h, w, channels)."""
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (with '#' comments), then ONE whitespace byte, then raw samples
+    pos = 0
+    tokens: list[bytes] = []
+    while len(tokens) < 4:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(data[start:pos])
+    pos += 1  # the single whitespace after maxval
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm image: {magic!r}")
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 1 if magic == b"P5" else 3
+    n = w * h * ch
+    arr = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(h, w, ch)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather (pure NumPy)."""
+    h, w = img.shape[:2]
+    ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    ci = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[ri[:, None], ci[None, :]]
+
+
+def _image_feature(img: np.ndarray, grid: int) -> np.ndarray:
+    """grid x grid mean-pooled grayscale thumbnail in [0, 1]."""
+    gray = img.mean(axis=2) if img.ndim == 3 else img
+    return (resize_nearest(gray, grid, grid).astype(np.float32) / 255.0).ravel()
+
+
+def _decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/WAVE PCM -> (sample_rate, n_channels, mono float32 samples)."""
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        rate, nch, sw = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return rate, nch, x
+
+
+def _audio_feature(x: np.ndarray, n_windows: int) -> np.ndarray:
+    """Windowed RMS energy over n_windows equal slices (zero-padded tail)."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(n_windows, dtype=np.float32)
+    pad = (-n) % n_windows
+    x2 = np.pad(x, (0, pad)).reshape(n_windows, -1)
+    return np.sqrt((x2 * x2).mean(axis=1)).astype(np.float32)
+
+
+def _decode_bytes(data: bytes, feat_dim: int) -> tuple[str, int, int, int, np.ndarray]:
+    """(kind, width, height, n_frames, feature) from raw bytes, by magic.
+
+    Images: width/height = pixels, n_frames = 1, feature = pooled thumbnail
+    (grid = sqrt(feat_dim)). Audio: width = sample rate, height = channels,
+    n_frames = samples, feature = feat_dim RMS windows. Compressed formats
+    need PIL/ffmpeg — NotImplementedError, handled per on_error policy.
+    """
+    if data[:2] in (b"P5", b"P6"):
+        img = _decode_netpbm(data)
+        grid = max(int(feat_dim**0.5), 1)
+        return "image", img.shape[1], img.shape[0], 1, _image_feature(img, grid)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        rate, nch, x = _decode_wav(data)
+        return "audio", rate, nch, len(x), _audio_feature(x, feat_dim)
+    raise NotImplementedError(
+        f"no stdlib decoder for magic {data[:4]!r} (jpeg/png/mp4 need PIL/ffmpeg)"
+    )
+
+
+def decode_media_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    feat_dim: int = 64,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Decode inline binary media columns -> typed metadata + feature vector.
+
+    Arrow-batched mapInPandas; one output row per decodable input row.
+    on_error: "skip" drops undecodable rows (count them upstream via an
+    Observation if needed); "error" re-raises — reproducible failures.
+    """
+    if on_error not in ("skip", "error"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bytes_col).alias("data"))
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                try:
+                    kind, w, h, nf, feat = _decode_bytes(bytes(data), feat_dim)
+                except Exception:
+                    if on_error == "error":
+                        raise
+                    continue
+                rows.append((doc_id, None, kind, w, h, nf, feat))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "kind", "width", "height", "n_frames", "feature"],
+            )
+
+    return src.mapInPandas(_decode_batch, MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:

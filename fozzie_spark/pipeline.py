@@ -63,9 +63,14 @@ def er_pipeline(
     resume: bool = True,
     table_format: str = "parquet",
     reliable_cc: bool = False,
+    collect_metrics: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the pipeline; returns dict of stage DataFrames
-    (keys, pairs, edges, clusters, entities)."""
+    (keys, pairs, edges, clusters, entities).
+
+    collect_metrics=False skips the per-partition row-count job each stage
+    runs after its write (lineage manifests keep observed metrics) — the
+    right setting at full scale where that extra scan is measurable."""
     params = {
         "method": method,
         "max_distance": max_distance,
@@ -82,7 +87,8 @@ def er_pipeline(
         "input_fingerprint": docs.semanticHash(),
     }
     runner = StageRunner(
-        spark, checkpoint_dir, run_config=params, resume=resume, table_format=table_format
+        spark, checkpoint_dir, run_config=params, resume=resume,
+        table_format=table_format, collect_metrics=collect_metrics,
     )
 
     # ---- stage 1: derive keys + key ids (pure projection — no shuffle) ----

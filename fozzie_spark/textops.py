@@ -141,12 +141,15 @@ def minhash_lsh_pairs(
     """Candidate pairs (id1 < id2) whose signatures collide in >= 1 band.
 
     Equi-join on (band index, band hash); distinct. Tune bands/rows for the
-    target similarity threshold: P(collide) = 1-(1-s^r)^b.
+    target similarity threshold: P(collide) = 1-(1-s^r)^b. Pass
+    rows_per_band explicitly to skip the one-row signature-width probe.
     """
-    k = None
-    first = sigs.select(F.size("sig")).first()
-    k = first[0] if first else 0
-    r = rows_per_band or max(1, k // bands)
+    if rows_per_band is None:
+        first = sigs.select(F.size("sig")).first()
+        k = first[0] if first else 0
+        r = max(1, k // bands)
+    else:
+        r = rows_per_band
     banded = sigs.select(
         "id",
         F.explode(
@@ -179,7 +182,7 @@ def minhash_dedup_pairs(
     """LSH candidates verified with EXACT shingle Jaccard (so output is
     exact-over-candidates; recall depends on the band curve)."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_w)
-    cand = minhash_lsh_pairs(sigs, bands)
+    cand = minhash_lsh_pairs(sigs, bands, rows_per_band=max(1, num_hashes // bands))
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles_col(text_col, shingle_w)).alias("sh"),
