@@ -77,21 +77,53 @@ def cosine_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    strategy: str = "exact",
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 13,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Exact top-k neighbors per query (query_id, neighbor_id, cosine, rank).
+    """Top-k neighbors per query (query_id, neighbor_id, cosine, rank).
 
-    Deterministic tie-break: (cosine desc, neighbor_id asc). Brute force —
-    broadcast `queries` when it is small.
+    Deterministic tie-break: (cosine desc, neighbor_id asc).
+
+    strategy="exact": brute force — the probe side is usually small, so
+    Catalyst broadcasts it and streams the corpus once; exact but O(q x n).
+    strategy="lsh": candidates restricted to corpus vectors sharing >= 1
+    signature band with the query (equi-join, IVF-style bucket probe), then
+    exact cosine + rank over candidates only — approximate (a query may
+    return fewer than k rows if its buckets are sparse); the corpus-scale
+    path when the probe set itself is large.
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        q.crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity_col(F.col("qv"), F.col("cv")))
-    )
+    if strategy not in ("exact", "lsh"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    if strategy == "lsh":
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        qs = _banded(lsh_signatures(queries, id_col, vec_col, n_planes, seed, dim=dim),
+                     n_planes, bands)
+        cs = _banded(lsh_signatures(corpus, id_col, vec_col, n_planes, seed, dim=dim),
+                     n_planes, bands)
+        scored = (
+            qs.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "band", "bh")
+            .join(
+                cs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+                          "band", "bh"),
+                ["band", "bh"],
+            )
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "qv", "cv")
+            .distinct()
+        )
+    else:
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        scored = q.crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
+
+    scored = scored.withColumn("cosine", cosine_similarity_col(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -131,6 +163,26 @@ def lsh_signatures(
     )
 
 
+def _banded(sigs: DataFrame, n_planes: int, bands: int) -> DataFrame:
+    """(id, v, band, bh): one row per signature band (the LSH bucket key)."""
+    r = max(1, n_planes // bands)
+    return sigs.select(
+        "id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * r).bitwiseAND(F.lit((1 << r) - 1)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def lsh_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -146,22 +198,7 @@ def lsh_cosine_pairs(
     Recall < 1 by design (pinned >= 0.95 at min_cosine 0.4 with 16 planes /
     8 bands in tests/test_ann.py); tune n_planes/bands per threshold."""
     sigs = lsh_signatures(df, id_col, vec_col, n_planes, seed, dim=dim)
-    r = max(1, n_planes // bands)
-    banded = sigs.select(
-        "id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", b * r).bitwiseAND(F.lit((1 << r) - 1)).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _banded(sigs, n_planes, bands)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bh"])

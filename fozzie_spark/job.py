@@ -28,8 +28,12 @@ def build_session(app: str, cpus: str | None = None, shuffle_partitions: int | N
     if cpus:
         b = b.master(f"local[{cpus}]")
         # local mode: executors live in the driver JVM — size it accordingly
-        # (must be set before the JVM starts; no-op under spark-submit)
+        # (must be set before the JVM starts; no-op under spark-submit).
+        # ParallelGC measured ~5% faster than G1 on this batch workload, and
+        # a moderate heap beats a huge one (64g heap measured 2.5x SLOWER
+        # than 24g end-to-end — late-run G1 mixed collections).
         b = b.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        b = b.config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     b = (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.adaptive.enabled", "true")

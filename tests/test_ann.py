@@ -52,3 +52,25 @@ def test_auto_routes_large_to_lsh(emb):
 def test_strategy_validation(emb):
     with pytest.raises(ValueError):
         ann.cosine_pairs(emb, "vec_id", "embedding", strategy="bogus")
+
+
+def test_lsh_topk_matches_exact_on_found(emb):
+    probes = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in ann.cosine_topk(probes, emb, "vec_id", "embedding", k=5).collect()
+    }
+    lsh_rows = ann.cosine_topk(
+        probes, emb, "vec_id", "embedding", k=5, strategy="lsh", n_planes=16, bands=8
+    ).collect()
+    assert lsh_rows, "lsh topk returned nothing"
+    # every (query, neighbor) LSH returns must carry the EXACT cosine; the
+    # top-1 of each query should usually survive bucketing — require >= 70%
+    found_top1 = 0
+    queries = {q for q, _ in exact}
+    for q in queries:
+        t1 = min((r for r in exact if r[0] == q), key=lambda r: exact[r])
+        if any(row["query_id"] == q and row["neighbor_id"] == t1[1] and row["rank"] == 1
+               for row in lsh_rows):
+            found_top1 += 1
+    assert found_top1 / len(queries) >= 0.7

@@ -89,3 +89,38 @@ def test_sorted_neighborhood_in_pipeline(spark, tmp_path):
     )
     ent = {r["doc_id"]: r["entity_id"] for r in out["entities"].collect()}
     assert ent["a"] == ent["b"]
+
+
+def test_jaro_candidates_superset(spark):
+    import random
+
+    random.seed(7)
+    alpha = "abcdef"
+    vals = list({
+        "".join(random.choice(alpha) for _ in range(random.randint(0, 9)))
+        for _ in range(60)
+    } | {"", "a", "liam", "laim", "maria", "mariah"})
+    ldf, rdf = kdf(spark, vals, "__fz_l0"), kdf(spark, vals, "__fz_r0")
+    for tau, w, mp in ((0.25, 0.0, 0), (0.4, 0.1, 4), (0.6, 0.0, 0)):
+        cand = blocking.jaro_candidates(ldf, rdf, "__fz_l0", "__fz_r0", tau, prefix_weight=w)
+        got = {tuple(r) for r in cand.collect()}
+        true = {
+            (a, b)
+            for a in vals
+            for b in vals
+            if D.jaro_winkler([a], [b], max_distance=tau, prefix_weight=w, max_prefix=mp)[0]
+            <= tau
+        }
+        missing = true - got
+        assert not missing, (tau, w, missing)
+
+
+def test_jaro_candidates_falls_back_to_cross(spark):
+    vals = ["ab", "cd"]
+    ldf, rdf = kdf(spark, vals, "__fz_l0"), kdf(spark, vals, "__fz_r0")
+    # tau >= 2/3 => count bound vacuous => full cross product
+    cand = blocking.jaro_candidates(ldf, rdf, "__fz_l0", "__fz_r0", 0.8)
+    assert cand.count() == 4
+    # negative prefix weight could DECREASE distance => no sound pruning
+    cand2 = blocking.jaro_candidates(ldf, rdf, "__fz_l0", "__fz_r0", 0.3, prefix_weight=-0.5)
+    assert cand2.count() == 4
