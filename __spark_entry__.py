@@ -431,6 +431,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
     )
 
+    # ---- media decode (rows-only: features are NumPy-side, no SQL analog) ------
+    def _media(s, d):
+        # deterministic synthetic binaries (netpbm + WAV built from the doc
+        # ids), decoded by the REAL stdlib decoders — exercises the full
+        # mapInPandas decode path end-to-end
+        import io
+        import wave
+
+        from fozzie_spark.media import decode_media_features
+
+        def _ppm(i):
+            w, h = 4 + i % 5, 3 + i % 4
+            return f"P6\n{w} {h}\n255\n".encode() + bytes((i % 256, 2 * i % 256, 3 * i % 256)) * (w * h)
+
+        def _wav(i):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(8000)
+                wf.writeframes(bytes([i % 256, (i * 7) % 256]) * (200 + i % 50))
+            return buf.getvalue()
+
+        rows = [
+            (f"m{i}", bytearray(_ppm(i) if i % 2 == 0 else _wav(i))) for i in range(40)
+        ]
+        df = s.createDataFrame(rows, "doc_id string, media_bytes binary")
+        out = decode_media_features(df, feat_dim=16)
+        return out.select(
+            "doc_id", "kind",
+            F.col("width").cast("bigint").alias("width"),
+            F.col("height").cast("bigint").alias("height"),
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+            F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
+        )
+
+    q["media_decode"] = _media
+
     # ---- ER pipeline ----------------------------------------------------------
     def _er(s, d):
         # Output is (doc_id, entity_rep = min doc_id in the predicted

@@ -33,7 +33,14 @@ def build_session(app: str, cpus: str | None = None, shuffle_partitions: int | N
         # a moderate heap beats a huge one (64g heap measured 2.5x SLOWER
         # than 24g end-to-end — late-run G1 mixed collections).
         b = b.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        b = b.config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # ActiveProcessorCount makes local[N] emulate an N-core machine
+        # (GC/JIT thread pools sized to N, not to the host's core count) —
+        # without it a local[8] run on a 32-core host gets 32 GC threads,
+        # skewing any N-vs-4N scaling measurement in local[8]'s favor.
+        b = b.config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}",
+        )
     b = (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.adaptive.enabled", "true")

@@ -27,8 +27,14 @@ def run_level(cpus: int, n_entities: int) -> dict:
     shutil.rmtree(ckpt, ignore_errors=True)
     t0 = time.time()
     env = dict(os.environ, SPARK_DRIVER_MEMORY="24g")
+    # taskset pins the whole process tree to `cpus` physical cores, so the
+    # low level truly emulates a small machine instead of opportunistically
+    # borrowing the host's spare cores for GC/JIT/OS work (paired with
+    # -XX:ActiveProcessorCount inside job.build_session)
+    pin = ["taskset", "-c", f"0-{cpus - 1}"] if shutil.which("taskset") else []
     proc = subprocess.run(
-        [
+        pin
+        + [
             sys.executable, "-m", "fozzie_spark.job",
             "--synth-entities", str(n_entities),
             "--checkpoint-dir", ckpt,
