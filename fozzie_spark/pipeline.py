@@ -50,6 +50,42 @@ def key_id(col):
     )
 
 
+#: 512-bit Bloom signature = 8 longs; grams are PARTITIONED across the 8
+#: words by hash so each word stays sparse (~n/8 grams -> low AND noise)
+NSIG = 8
+
+
+def _bloom_signatures(uniq: DataFrame, q: int) -> DataFrame:
+    """(kid, n, s0..s7): per-key distinct-gram count + 512-bit gram Bloom
+    signature, computed as pure JVM expressions over the key string."""
+
+    def _sig(gs, i):
+        one = F.lit(1).cast("long")
+        return F.aggregate(
+            gs,
+            F.lit(0).cast("long"),
+            lambda acc, g: acc.bitwiseOR(
+                F.when(
+                    F.pmod(g, F.lit(NSIG)) == i,
+                    # shiftleft via call_function: the PySpark wrapper only
+                    # takes literal bit counts, the SQL fn any int column
+                    F.call_function(
+                        "shiftleft",
+                        one,
+                        F.pmod(F.shiftright(g, 3), F.lit(64)).cast("int"),
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+        )
+
+    hashed = F.transform(F.array_distinct(qgrams_col("key", q)), lambda g: F.xxhash64(g))
+    return uniq.select(
+        "kid",
+        F.size(hashed).alias("n"),
+        *[_sig(hashed, i).alias(f"s{i}") for i in range(NSIG)],
+    )
+
+
 def er_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -149,8 +185,25 @@ def er_pipeline(
         else:
             grams = grams.withColumn("rn", F.lit(1))
         grams = grams.select("kid", "n", "g", "rn")
+
+        # ---- signature fusion (jaccard): carry the 512-bit gram Bloom
+        # signature ON the prefix-gram rows, so the candidate join emits
+        # pairs WITH both signatures attached and the Bloom test runs inline
+        # in the same codegen stage. The alternative (probing two broadcast
+        # signature tables per candidate row) costs 2 hash probes x 10^8-9
+        # rows; fusing pays ~64 B/row more shuffle on the ~10^7 gram rows
+        # instead — sequential I/O for random probes, a bandwidth win at the
+        # candidate volumes this stage sees.
+        bloom = method == "jaccard"
+        if bloom:
+            sig_df = _bloom_signatures(uniq, q)
+            attach = F.broadcast(sig_df) if _n_uniq() < 8_000_000 else sig_df
+            grams = grams.drop("n").join(attach, "kid")  # n re-attached with sigs
+        right_cols = {"kid": "kid2", "n": "n2", "rn": "rn2"}
+        if bloom:
+            right_cols.update({f"s{i}": f"b{i}" for i in range(NSIG)})
         right = grams.select(
-            F.col("kid").alias("kid2"), F.col("n").alias("n2"), "g", F.col("rn").alias("rn2")
+            "g", *[F.col(c).alias(a) for c, a in right_cols.items()]
         )
         if salt_partitions:
             grams = grams.repartition(salt_partitions, "g")
@@ -163,19 +216,38 @@ def er_pipeline(
                 F.lit(1) + F.least(F.col("n") - F.col("rn"), F.col("n2") - F.col("rn2"))
                 >= alpha
             )
+
+        # raw candidate count (duplicates NOT removed — each is one pair
+        # evaluation) observed by the write action, no extra job; placed
+        # BEFORE the Bloom cut so the metric stays comparable across rounds
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        cand = cand.observe(obs, F.count(F.lit(1)).alias("raw_candidates"))
+
+        if bloom:
+            t_sim = t
+            alpha_b = F.ceil(F.lit(t_sim / (1.0 + t_sim)) * (F.col("n") + F.col("n2")))
+            shared_bits = sum(
+                F.bit_count(F.col(f"s{i}").bitwiseAND(F.col(f"b{i}"))) for i in range(NSIG)
+            )
+            # (no both-empty clause needed here: gram rows imply n, n2 >= 1;
+            # empty-profile keys are paired by the short-key block below)
+            cand = cand.where(shared_bits >= F.greatest(F.floor(alpha_b / 2) - 2, F.lit(1)))
         cand = cand.select("kid", "kid2")
+
+        extra = None  # complementary candidates (sorted-neighborhood, short keys)
         if sn_window:
             # complementary sorted-neighborhood pass (north rule): catches
             # pairs whose shared grams were all dropped by the df cap
             from fozzie_spark.blocking import sorted_neighborhood_candidates
 
             sn = sorted_neighborhood_candidates(uniq.select("key"), "key", window=sn_window)
-            sn_ids = sn.select(
+            extra = sn.select(
                 key_id(F.col("key")).alias("a"), key_id(F.col("key2")).alias("b")
             ).select(
                 F.least("a", "b").alias("kid"), F.greatest("a", "b").alias("kid2")
             )
-            cand = cand.unionByName(sn_ids)
 
         if method == "jaccard" and max_distance < 1.0:
             # short-key block: keys shorter than q have EMPTY gram profiles,
@@ -192,92 +264,55 @@ def er_pipeline(
                 .where(F.col("kid") < F.col("kid2"))
                 .select("kid", "kid2")
             )
-            cand = cand.unionByName(sp)
+            extra = sp if extra is None else extra.unionByName(sp)
 
-        # raw candidate count (duplicates NOT removed — each is one pair
-        # evaluation) observed by the write action, no extra job
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        cand = cand.observe(obs, F.count(F.lit(1)).alias("raw_candidates"))
-
-        # ---- fused map-side Bloom refine (profile methods) ---------------
-        # Deduplicating 10^8+ raw candidates is a full shuffle of the pair
-        # stream; instead keep duplicates and kill non-matches FIRST with a
-        # 512-bit gram Bloom signature test against a BROADCAST (tiny,
-        # ~50B/key) signature table — one AND+popcount per pair, map-only,
-        # whole-stage codegen — then dedupe only the small survivor set.
-        # A true match needs alpha = ceil(t/(1+t)(n1+n2)) shared grams;
-        # their bits survive the AND. The pass threshold floor(alpha/2)-2
-        # (clamped to 1) is NOT fully lossless for alpha >= 8: it assumes
-        # alpha distinct grams land in > floor(alpha/2)-2 of the 512 bins,
-        # which fails only if they collide into very few bins — probability
-        # < C(512,k)*(k/512)^alpha for k bins, i.e. < 1e-12 per pair at
-        # alpha=8 and vanishing faster for larger alpha. The clamp-to-1 case
-        # (alpha <= 7) IS sound: one shared gram => one shared bit. Random
-        # non-matching pairs pass at <1%; the exact verifier in the edges
-        # stage rescores every survivor, so the only effect of a (astronomically
-        # rare) false negative is one missed candidate, same failure class as
-        # the minhash-LSH band curve.
-        if method == "jaccard":
-
-            NSIG = 8  # 512-bit signature: grams PARTITIONED across 8 words
-            # so each word stays sparse (~n/8 grams -> low AND noise)
-
-            def _sig(gs, i):
-                one = F.lit(1).cast("long")
-                return F.aggregate(
-                    gs,
-                    F.lit(0).cast("long"),
-                    lambda acc, g: acc.bitwiseOR(
-                        F.when(
-                            F.pmod(g, F.lit(NSIG)) == i,
-                            # shiftleft via call_function: the PySpark wrapper
-                            # only takes literal bit counts, the SQL fn any int
-                            F.call_function(
-                                "shiftleft",
-                                one,
-                                F.pmod(F.shiftright(g, 3), F.lit(64)).cast("int"),
-                            ),
-                        ).otherwise(F.lit(0).cast("long"))
-                    ),
+        if extra is not None:
+            if bloom:
+                # the complementary pairs get the same Bloom cut (they are
+                # mostly non-matches: rank-adjacent != similar) via two
+                # broadcast probes — cheap at their ~window*keys volume.
+                # Empty-profile pairs (n = 0 both sides) are definite
+                # matches (jaccard dist 0) and skip the test.
+                a = sig_df.select(
+                    "kid", F.col("n").alias("na"),
+                    *[F.col(f"s{i}").alias(f"xa{i}") for i in range(NSIG)],
                 )
+                b = sig_df.select(
+                    F.col("kid").alias("kid2"), F.col("n").alias("nb"),
+                    *[F.col(f"s{i}").alias(f"xb{i}") for i in range(NSIG)],
+                )
+                if _n_uniq() < 8_000_000:
+                    a, b = F.broadcast(a), F.broadcast(b)
+                alpha_x = F.ceil(F.lit(t / (1.0 + t)) * (F.col("na") + F.col("nb")))
+                shared_x = sum(
+                    F.bit_count(F.col(f"xa{i}").bitwiseAND(F.col(f"xb{i}")))
+                    for i in range(NSIG)
+                )
+                extra = (
+                    extra.join(a, "kid")
+                    .join(b, "kid2")
+                    .where(
+                        (shared_x >= F.greatest(F.floor(alpha_x / 2) - 2, F.lit(1)))
+                        | ((F.col("na") == 0) & (F.col("nb") == 0))
+                    )
+                    .select("kid", "kid2")
+                )
+            cand = cand.unionByName(extra)
 
-            hashed = F.transform(
-                F.array_distinct(qgrams_col("key", q)), lambda g: F.xxhash64(g)
-            )
-            sig_df = uniq.select(
-                "kid",
-                F.size(hashed).alias("n"),
-                *[_sig(hashed, i).alias(f"s{i}") for i in range(NSIG)],
-            )
-            # Broadcast gate is SIZE-based, not row-based: each signature row
-            # is ~90 B (16 B kid + 64 B sig + n), so 8M rows ~ 0.7 GB — near
-            # the practical driver/executor comfort limit. Beyond that the
-            # hint is dropped and Catalyst plans a shuffled join (AQE can
-            # still convert if stats say otherwise).
-            bcast = _n_uniq() < 8_000_000
-            a = sig_df.select(
-                "kid",
-                F.col("n").alias("na"),
-                *[F.col(f"s{i}").alias(f"a{i}") for i in range(NSIG)],
-            )
-            b = sig_df.select(
-                F.col("kid").alias("kid2"),
-                F.col("n").alias("nb"),
-                *[F.col(f"s{i}").alias(f"b{i}") for i in range(NSIG)],
-            )
-            if bcast:
-                a, b = F.broadcast(a), F.broadcast(b)
-            t_sim = 1.0 - max_distance
-            alpha = F.ceil(F.lit(t_sim / (1.0 + t_sim)) * (F.col("na") + F.col("nb")))
-            shared_bits = sum(
-                F.bit_count(F.col(f"a{i}").bitwiseAND(F.col(f"b{i}"))) for i in range(NSIG)
-            )
-            bloom_ok = shared_bits >= F.greatest(F.floor(alpha / 2) - 2, F.lit(1))
-            # keep empty-profile pairs (jaccard(both empty)=0 is a match)
-            both_empty = (F.col("na") == 0) & (F.col("nb") == 0)
-            cand = cand.join(a, "kid").join(b, "kid2").where(bloom_ok | both_empty)
+        # Pair dedup happens HERE, after the inline Bloom cut: deduplicating
+        # 10^8-9 raw candidates would be a full shuffle of the pair stream;
+        # the Bloom filter (one AND+popcount per pair, whole-stage codegen)
+        # kills >99% of non-matches first, so only the small survivor set
+        # shuffles. The pass threshold floor(alpha/2)-2 (clamped to 1) is
+        # NOT fully lossless for alpha >= 8: a true match's alpha distinct
+        # grams could collide into <= floor(alpha/2)-2 of the 512 bins with
+        # probability < C(512,k)*(k/512)^alpha — < 1e-12 per pair at
+        # alpha=8, vanishing faster beyond. The clamp-to-1 case (alpha <= 7)
+        # IS sound: one shared gram => one shared bit. The exact verifier in
+        # the edges stage rescores every survivor, so an (astronomically
+        # rare) false negative costs one candidate — the same failure class
+        # as the minhash-LSH band curve. Sorted-neighborhood and short-key
+        # pairs above bypass the Bloom cut (tiny volumes, exact verify).
         return cand.select("kid", "kid2").distinct(), obs
 
     pairs = runner.stage("pairs", _pairs, params=params, depends_on=("keys",))
