@@ -70,36 +70,96 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalize: bool = Tru
 # --------------------------------------------------------------------------
 
 
+def _jaccard_candidates(
+    base: DataFrame, max_distance: float, max_shingle_df: int | None = None
+) -> DataFrame:
+    """PPJoin candidate pairs (id1 < id2) over (id, sh) shingle-set rows.
+
+    Prefix filtering (Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08) is
+    LOSSLESS for Jaccard: order each doc's distinct shingles by global
+    rarity (document frequency asc); two docs with jaccard_sim >= t =
+    1 - max_distance MUST share a shingle within their first
+    n - ceil(t*n) + 1 shingles. This is what keeps a 100 TB web corpus
+    tractable: a hot shingle ("the end of" at w=3, df in the millions) is
+    the COMMONEST shingle, so it sorts LAST and almost never lands in a
+    prefix — without the filter that one block alone is quadratic in its
+    df. The POSITIONAL filter then bounds best-possible overlap from the
+    prefix positions; the size-bound prune handles length mismatch.
+
+    `max_shingle_df` is an optional (approximate!) safety valve on top:
+    shingles with df above it are dropped from the index entirely —
+    recall can drop for doc pairs whose ONLY shared shingles are that hot.
+    The prefix filter already makes hot shingles cheap, so the default is
+    None (exact).
+
+    ref: the reference's inverted-index idea (jaccard.rs:118-177) applied
+    at corpus scale; same design as the ER pipeline (pipeline.py:150-221).
+    """
+    from pyspark.sql import Window
+
+    t = 1.0 - float(max_distance)
+    grams = base.select(
+        "id", F.size("sh").alias("n"), F.explode("sh").alias("g")
+    )
+    gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    if max_shingle_df:
+        gram_df = gram_df.where(F.col("df") <= max_shingle_df)
+    # NO broadcast hint (unlike the ER pipeline's char q-grams, distinct
+    # WORD shingles are unbounded at corpus scale) — the df lookup shuffles
+    # on g like the candidate join itself; AQE broadcasts when small
+    grams = grams.join(gram_df, "g")  # inner: drops capped shingles
+    if t > 0:
+        w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("g").asc())
+        prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+        grams = grams.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") <= prefix_len
+        )
+    else:
+        grams = grams.withColumn("rn", F.lit(1))
+    right = grams.select(
+        "g",
+        F.col("id").alias("id2"),
+        F.col("n").alias("n2"),
+        F.col("rn").alias("rn2"),
+    )
+    cand = (
+        grams.join(right, "g")
+        .where(F.col("id") < F.col("id2"))
+        # size-bound prune: jaccard_sim >= t needs min/max >= t
+        .where(F.least("n", "n2") >= F.ceil(F.lit(t) * F.greatest("n", "n2")))
+    )
+    if t > 0:
+        # positional filter (PPJoin): best-possible overlap from the prefix
+        # positions of the shared shingle must reach ceil(t/(1+t)*(n+n2))
+        alpha = F.ceil(F.lit(t / (1.0 + t)) * (F.col("n") + F.col("n2")))
+        cand = cand.where(
+            F.lit(1) + F.least(F.col("n") - F.col("rn"), F.col("n2") - F.col("rn2"))
+            >= alpha
+        )
+    return cand.select(F.col("id").alias("id1"), "id2").distinct()
+
+
 def jaccard_dedup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_w: int = 3,
     max_distance: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact word-shingle Jaccard near-dup pairs (id1 < id2, jaccard_dist).
 
-    Inverted-index blocking on shingles + size-bound prune, then exact
-    set-Jaccard computed JVM-side on the shingle arrays.
+    PPJoin blocking (prefix filter + positional filter + size bound — see
+    `_jaccard_candidates`), then exact set-Jaccard computed JVM-side on the
+    shingle arrays. Candidate volume stays near-linear even under hot
+    shingles (one shingle shared by every doc); `max_shingle_df` remains an
+    approximate valve for adversarial corpora.
     """
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles_col(text_col, shingle_w)).alias("sh"),
     ).where(F.size("sh") > 0)
-    ex = base.select("id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
-    cand = (
-        ex.alias("a")
-        .join(ex.alias("b"), "g")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.n").alias("n1"),
-            F.col("b.n").alias("n2"),
-        )
-        .distinct()
-        .where(F.lit(1.0) - F.least("n1", "n2") / F.greatest("n1", "n2") <= max_distance)
-    )
+    cand = _jaccard_candidates(base, max_distance, max_shingle_df)
     a = base.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"))
     b = base.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
@@ -251,22 +311,19 @@ def simhash_near_pairs(sh: DataFrame, max_hamming: int = 3, n_chunks: int | None
     base, rem = divmod(64, c)
     widths = [base + 1 if i < rem else base for i in range(c)]
     offsets = [sum(widths[:i]) for i in range(c)]
+
+    def _chunk(i):
+        # a full-width chunk (c == 1) needs no mask — and (1 << 64) - 1
+        # does not fit a signed long literal anyway
+        v = F.shiftright("simhash", offsets[i])
+        if widths[i] < 64:
+            v = v.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        return F.struct(F.lit(i).alias("c"), v.alias("v"))
+
     chunks = sh.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("c"),
-                        F.shiftright("simhash", offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        .alias("v"),
-                    )
-                    for i in range(c)
-                ]
-            )
-        ).alias("ch"),
+        F.explode(F.array(*[_chunk(i) for i in range(c)])).alias("ch"),
     ).select("id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
     pairs = (
         chunks.alias("a")

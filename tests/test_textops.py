@@ -91,6 +91,79 @@ def test_simhash_near_pairs(spark, docs):
     assert (3, 4) in got  # identical docs collide (hamming 0)
 
 
+def test_simhash_full_width_chunk(spark, docs):
+    # regression: n_chunks=1 (also the max_hamming=0 default) means one
+    # 64-bit-wide chunk; the mask literal (1<<64)-1 used to overflow a
+    # signed long and crash in Py4J
+    sh = textops.simhash(docs, "id", "text", shingle_w=2)
+    vals = {r["id"]: r["simhash"] for r in sh.collect()}
+    exact0 = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(vals), 2)
+        if vals[i] == vals[j]
+    }
+    got0 = {
+        (r["id1"], r["id2"])
+        for r in textops.simhash_near_pairs(sh, max_hamming=0).collect()
+    }
+    assert got0 == exact0 and (3, 4) in got0
+    # explicit n_chunks=1 with a wider tolerance: subset semantics, no crash
+    got1 = {
+        (r["id1"], r["id2"])
+        for r in textops.simhash_near_pairs(sh, max_hamming=3, n_chunks=1).collect()
+    }
+    assert got1 <= {
+        (i, j)
+        for i, j in itertools.combinations(sorted(vals), 2)
+        if bin(vals[i] ^ vals[j]).count("1") <= 3
+    }
+
+
+def test_jaccard_hot_shingle_stays_linear(spark):
+    # one shingle shared by EVERY doc (the 100 TB hot-shingle regime): the
+    # PPJoin prefix filter must keep candidates O(true pairs), not O(n^2)
+    n = 60
+    rows = [
+        (i, f"common shared phrase uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e")
+        for i in range(n)
+    ]
+    # implant two near-dup pairs (differ in the last token only)
+    rows.append((1000, rows[0][1][:-1] + "X"))
+    rows.append((1001, rows[1][1][:-1] + "X"))
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    base = df.select(
+        "id",
+        F.array_distinct(textops.word_shingles_col("text", 3)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    n_cand = textops._jaccard_candidates(base, max_distance=0.5).count()
+    assert n_cand <= n  # naive share-a-shingle blocking would give ~n^2/2
+
+    got = {
+        (r["id1"], r["id2"]): round(r["jaccard_dist"], 9)
+        for r in textops.jaccard_dedup_pairs(df, "id", "text", 3, 0.5).collect()
+    }
+    sh = {i: shingle_set(t, 3) for i, t in rows}
+    brute = {}
+    for i, j in itertools.combinations(sorted(sh), 2):
+        d = 1 - len(sh[i] & sh[j]) / len(sh[i] | sh[j])
+        if d <= 0.5:
+            brute[(i, j)] = round(d, 9)
+    assert got == brute and len(brute) >= 2  # lossless under the hot shingle
+
+
+def test_jaccard_max_shingle_df_valve(spark):
+    # the approximate valve drops hot shingles from the index entirely;
+    # pairs whose ONLY shared shingles are hot are (documented) recall loss
+    rows = [(i, "same exact shared text here") for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    full = textops.jaccard_dedup_pairs(df, "id", "text", 3, 0.5).count()
+    capped = textops.jaccard_dedup_pairs(
+        df, "id", "text", 3, 0.5, max_shingle_df=2
+    ).count()
+    assert full == 10 and capped == 0
+
+
 def test_language_id(spark):
     df = spark.createDataFrame(
         [
