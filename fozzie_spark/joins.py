@@ -419,6 +419,33 @@ def distance_join(
 # ---------------------------------------------------------------------------
 
 
+def _interval_bin_width(lkeys: DataFrame, rkeys: DataFrame, maxgap: float) -> float:
+    """Data-derived bin width for interval blocking, robust to length skew.
+
+    Width = p95 interval length (+ maxgap + 1), NOT the max: one
+    pathological long interval (a year-long range in a table of minutes)
+    must not inflate every bin — the blocking stays correct for ANY width
+    because long intervals simply explode over multiple bins
+    (blocking.interval_bin_candidates). The long tail's explosion is capped
+    at ~4096 bins per interval by flooring the width at max_len/4096.
+    ONE aggregation job over the union of both sides' lengths (the previous
+    two per-side .first() probes fused)."""
+    lengths = (
+        lkeys.select((F.col("__fz_l1") - F.col("__fz_l0")).cast("double").alias("__fz_len"))
+        .unionByName(
+            rkeys.select((F.col("__fz_r1") - F.col("__fz_r0")).cast("double").alias("__fz_len"))
+        )
+    )
+    row = lengths.agg(
+        F.percentile_approx("__fz_len", 0.95).alias("p95"),
+        F.max("__fz_len").alias("mx"),
+    ).first()
+    p95 = row["p95"] if row and row["p95"] is not None else 1.0
+    mx = row["mx"] if row and row["mx"] is not None else 1.0
+    width = float(p95) + float(max(maxgap, 0)) + 1.0
+    return max(width, float(mx) / 4096.0)
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -484,12 +511,7 @@ def interval_join(
         rkeys = _checked(rkeys, "__fz_r0", "__fz_r1", "right")
 
     if bin_width is None:
-        stats = [
-            lkeys.agg(F.max(F.col("__fz_l1") - F.col("__fz_l0"))).first()[0],
-            rkeys.agg(F.max(F.col("__fz_r1") - F.col("__fz_r0"))).first()[0],
-        ]
-        longest = max([s for s in stats if s is not None] or [1])
-        bin_width = float(longest) + float(max(maxgap, 0)) + 1.0
+        bin_width = _interval_bin_width(lkeys, rkeys, maxgap)
 
     pairs = blocking.interval_bin_candidates(
         lkeys, rkeys, ("__fz_l0", "__fz_l1"), ("__fz_r0", "__fz_r1"), maxgap, bin_width

@@ -199,6 +199,32 @@ def test_interval_integer_mode(spark):
     assert out.count() == 2
 
 
+def test_interval_length_skew_stays_linear(spark):
+    # one interval 10^4x longer than the rest: the p95-quantile bin width
+    # must keep blocking near-linear (the old max-length width collapsed
+    # the whole line into one bin -> quadratic candidates)
+    from fozzie_spark import blocking
+    from fozzie_spark.joins import _interval_bin_width
+
+    n = 2000
+    rows = [(float(i * 10), float(i * 10 + 1)) for i in range(n)] + [(0.0, 1e5)]
+    l = spark.createDataFrame(rows, "__fz_l0 double, __fz_l1 double")
+    r = spark.createDataFrame(rows, "__fz_r0 double, __fz_r1 double")
+    w = _interval_bin_width(l, r, maxgap=0)
+    assert w < 100.0  # p95 of lengths is 1; the max (1e5) must not dominate
+    n_cand = blocking.interval_bin_candidates(
+        l, r, ("__fz_l0", "__fz_l1"), ("__fz_r0", "__fz_r1"), 0.0, w
+    ).count()
+    assert n_cand < 100_000  # naive max-width blocking gives ~n^2 = 4M
+
+    out = interval_join(
+        idf(spark, rows), idf(spark, rows), by={"start": "start", "end": "end"},
+        interval_mode="real",
+    )
+    # self-overlaps (n+1) + long covers every short (2n directional pairs)
+    assert out.count() == (n + 1) + 2 * n
+
+
 def test_interval_named_by_and_auto(spark):
     df1 = spark.createDataFrame([(1.0, 3.0), (5.0, 7.0)], "a double, b double")
     df2 = spark.createDataFrame([(2.0, 4.0), (6.0, 8.0)], "c double, d double")
