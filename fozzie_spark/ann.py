@@ -10,10 +10,14 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType
+
+_log = logging.getLogger("fozzie_spark.ann")
 
 
 def _dot(a, b):
@@ -48,15 +52,28 @@ def cosine_pairs(
     - "lsh": hyperplane-LSH bucket join + exact cosine verification —
       precision 1.0, recall < 1 (pinned >= 0.95 at min_cosine 0.4 with the
       default 16 planes / 8 bands in tests) — the 100 TB path.
-    - "auto" (default): self-joins count the input (one cheap job) and
-      switch to LSH above `auto_threshold` rows, where the exact BNLJ
-      becomes a scale-killer; below it, exact.
+    - "auto" (default): counts the input (NOTE: one eager job at
+      plan-construction time) and switches to LSH above `auto_threshold`
+      rows — for two-table calls, when EITHER side exceeds it — where the
+      exact BNLJ becomes a scale-killer; below it, exact. The routing
+      decision is logged (logger "fozzie_spark.ann") so the recall change
+      is visible; pass strategy="exact" to opt out.
     """
     if strategy not in ("exact", "lsh", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    if other is None and strategy != "exact":
-        if strategy == "lsh" or df.count() > auto_threshold:
-            return lsh_cosine_pairs(df, id_col, vec_col, min_cosine, n_planes, bands, seed)
+    if strategy == "auto":
+        n = df.count()
+        n2 = other.count() if other is not None else n
+        strategy = "lsh" if max(n, n2) > auto_threshold else "exact"
+        _log.warning(
+            "cosine_pairs auto routed to %s (rows=%d%s, threshold=%d)%s",
+            strategy, n, "" if other is None else f" x {n2}", auto_threshold,
+            " — approximate results (recall < 1)" if strategy == "lsh" else "",
+        )
+    if strategy == "lsh":
+        return lsh_cosine_pairs(
+            df, id_col, vec_col, min_cosine, n_planes, bands, seed, other=other
+        )
     a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
     if other is None:
         b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
@@ -77,11 +94,12 @@ def cosine_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
-    strategy: str = "exact",
+    strategy: str = "auto",
     n_planes: int = 16,
     bands: int = 8,
     seed: int = 13,
     dim: int | None = None,
+    auto_threshold: int = 10_000,
 ) -> DataFrame:
     """Top-k neighbors per query (query_id, neighbor_id, cosine, rank).
 
@@ -94,11 +112,24 @@ def cosine_topk(
     exact cosine + rank over candidates only — approximate (a query may
     return fewer than k rows if its buckets are sparse); the corpus-scale
     path when the probe set itself is large.
+    strategy="auto" (default): counts the probe side (one eager job at
+    plan-construction time) and routes to LSH above `auto_threshold`
+    probes — a corpus-scale probe set would otherwise silently plan a
+    probes x corpus crossJoin. The decision is logged
+    (logger "fozzie_spark.ann"); pass strategy="exact" to opt out.
     """
     from pyspark.sql import Window
 
-    if strategy not in ("exact", "lsh"):
+    if strategy not in ("exact", "lsh", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        nq = queries.count()
+        strategy = "lsh" if nq > auto_threshold else "exact"
+        _log.warning(
+            "cosine_topk auto routed to %s (probes=%d, threshold=%d)%s",
+            strategy, nq, auto_threshold,
+            " — approximate results (recall < 1)" if strategy == "lsh" else "",
+        )
 
     if strategy == "lsh":
         if dim is None:
@@ -192,17 +223,31 @@ def lsh_cosine_pairs(
     bands: int = 4,
     seed: int = 13,
     dim: int | None = None,
+    other: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate near-neighbor pairs: hyperplane-LSH bucket join (equi-join
     per signature band), then EXACT cosine verification of candidates.
     Recall < 1 by design (pinned >= 0.95 at min_cosine 0.4 with 16 planes /
-    8 bands in tests/test_ann.py); tune n_planes/bands per threshold."""
+    8 bands in tests/test_ann.py); tune n_planes/bands per threshold.
+    Self-join by default (id1 < id2); pass `other` for a two-table join
+    (id1 from df, id2 from other, both sides bucketed with the SAME
+    hyperplanes so buckets align)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     sigs = lsh_signatures(df, id_col, vec_col, n_planes, seed, dim=dim)
     banded = _banded(sigs, n_planes, bands)
+    if other is None:
+        right, pred = banded, F.col("a.id") < F.col("b.id")
+    else:
+        right = _banded(
+            lsh_signatures(other, id_col, vec_col, n_planes, seed, dim=dim),
+            n_planes, bands,
+        )
+        pred = F.lit(True)
     cand = (
         banded.alias("a")
-        .join(banded.alias("b"), ["band", "bh"])
-        .where(F.col("a.id") < F.col("b.id"))
+        .join(right.alias("b"), ["band", "bh"])
+        .where(pred)
         .select(
             F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
             F.col("a.v").alias("v1"), F.col("b.v").alias("v2"),

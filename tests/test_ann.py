@@ -52,6 +52,46 @@ def test_auto_routes_large_to_lsh(emb):
 def test_strategy_validation(emb):
     with pytest.raises(ValueError):
         ann.cosine_pairs(emb, "vec_id", "embedding", strategy="bogus")
+    with pytest.raises(ValueError):
+        ann.cosine_topk(emb, emb, "vec_id", "embedding", strategy="bogus")
+
+
+def test_two_table_cosine_pairs_auto_routes(emb):
+    # other=-style two-table calls must also escape the crossJoin at scale
+    other = emb.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    exact = _pairs(ann.cosine_pairs(emb, "vec_id", "embedding", min_cosine=0.4,
+                                    other=other, strategy="exact"))
+    routed = ann.cosine_pairs(emb, "vec_id", "embedding", min_cosine=0.4,
+                              other=other, auto_threshold=10)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = _pairs(routed)
+    assert got <= exact  # exact verification => precision 1.0
+    assert len(got) >= 0.95 * len(exact)
+
+
+def test_topk_auto_routes_large_probe_to_lsh(emb):
+    # corpus-scale probe set: auto must route to the LSH band probe (no
+    # probes x corpus crossJoin in the plan) with top-k recall >= 0.95
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.cosine_topk(emb, emb, "vec_id", "embedding", k=3,
+                                 strategy="exact").collect()
+    }
+    routed = ann.cosine_topk(emb, emb, "vec_id", "embedding", k=3, auto_threshold=10)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {(r["query_id"], r["neighbor_id"]) for r in routed.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"LSH top-k recall {recall:.3f} < 0.95"
+
+
+def test_topk_auto_small_probe_stays_exact(emb):
+    probes = emb.where(F.col("vec_id") < 10)
+    auto = ann.cosine_topk(probes, emb, "vec_id", "embedding", k=5).collect()
+    exact = ann.cosine_topk(probes, emb, "vec_id", "embedding", k=5,
+                            strategy="exact").collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, exact))
 
 
 def test_lsh_topk_matches_exact_on_found(emb):
