@@ -425,38 +425,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_topk"] = _topk
 
-    q["lsh_cosine_pairs"] = lambda s, d: (  # rows-only (approximate by design)
-        ann.lsh_cosine_pairs(_emb(s, d), "vec_id", "embedding", min_cosine=0.4,
-                             n_planes=16, bands=8)
-        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
-    )
+    def _lsh_pairs(s, d):
+        # Approximate by design (recall < 1, pinned >= 0.95 in tests), so an
+        # equality oracle over the exact pair set is impossible — instead the
+        # emitted pairs are sidecar'd and the oracle recomputes the EXACT
+        # cosine for them in DuckDB, restricted to true >= min_cosine pairs:
+        # equality then proves precision 1.0 AND exact cosine values. Any
+        # false positive or wrong cosine breaks the row/hash match.
+        out = (
+            ann.lsh_cosine_pairs(_emb(s, d), "vec_id", "embedding", min_cosine=0.4,
+                                 n_planes=16, bands=8)
+            .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(f"{_SIDECAR}/lsh_pairs")
+        return s.read.parquet(f"{_SIDECAR}/lsh_pairs")
 
-    # ---- media decode (rows-only: features are NumPy-side, no SQL analog) ------
+    q["lsh_cosine_pairs"] = _lsh_pairs
+
+    # ---- media decode (oracle = closed-form expected sidecar) ------------------
     def _media(s, d):
-        # deterministic synthetic binaries (netpbm + WAV built from the doc
-        # ids), decoded by the REAL stdlib decoders — exercises the full
-        # mapInPandas decode path end-to-end
+        # deterministic synthetic binaries (netpbm + PNG + WAV built from the
+        # row index), decoded by the REAL stdlib decoders — exercises the
+        # full mapInPandas decode path end-to-end. The oracle side never
+        # touches the decoders: every input is a constant-color image or a
+        # constant-sample wave, so the expected metadata + first feature
+        # value follow in closed form from the generator parameters; they
+        # are sidecar'd and compared in DuckDB.
         import io
+        import struct
         import wave
+        import zlib
+
+        import numpy as np
 
         from fozzie_spark.media import decode_media_features
 
         def _ppm(i):
             w, h = 4 + i % 5, 3 + i % 4
-            return f"P6\n{w} {h}\n255\n".encode() + bytes((i % 256, 2 * i % 256, 3 * i % 256)) * (w * h)
+            rgb = (i % 256, 2 * i % 256, 3 * i % 256)
+            return f"P6\n{w} {h}\n255\n".encode() + bytes(rgb) * (w * h), w, h, rgb
+
+        def _png(i):
+            # constant-color RGB PNG, cycling through all 5 filter types
+            w, h, f = 3 + i % 6, 2 + i % 5, i % 5
+            rgb = (i % 256, 5 * i % 256, 11 * i % 256)
+            row = np.tile(np.array(rgb, dtype=np.int32), w)
+            zero = np.zeros(3, dtype=np.int32)
+            prev = np.zeros(w * 3, dtype=np.int32)
+            raws = []
+            for _y in range(h):
+                left = np.concatenate([zero, row[:-3]])
+                if f == 0:
+                    enc = row
+                elif f == 1:
+                    enc = (row - left) % 256
+                elif f == 2:
+                    enc = (row - prev) % 256
+                elif f == 3:
+                    enc = (row - ((left + prev) >> 1)) % 256
+                else:
+                    ul = np.concatenate([zero, prev[:-3]])
+                    p = left + prev - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, prev, ul))
+                    enc = (row - pred) % 256
+                raws.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+                prev = row
+
+            def chunk(typ, data):
+                return (struct.pack(">I", len(data)) + typ + data
+                        + struct.pack(">I", zlib.crc32(typ + data)))
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(b"".join(raws)))
+                    + chunk(b"IEND", b""), w, h, rgb)
 
         def _wav(i):
+            n = 200 + i % 50
             buf = io.BytesIO()
             with wave.open(buf, "wb") as wf:
                 wf.setnchannels(1)
                 wf.setsampwidth(2)
                 wf.setframerate(8000)
-                wf.writeframes(bytes([i % 256, (i * 7) % 256]) * (200 + i % 50))
-            return buf.getvalue()
+                wf.writeframes(bytes([i % 256, (i * 7) % 256]) * n)
+            return buf.getvalue(), n
 
-        rows = [
-            (f"m{i}", bytearray(_ppm(i) if i % 2 == 0 else _wav(i))) for i in range(40)
-        ]
+        def _gray_feat0(rgb):
+            # closed form for a constant-color image: every pooled block mean
+            # equals the constant gray value (same numpy dtype walk as the
+            # feature path: float64 channel mean -> float32 -> /255)
+            g = np.array([sum(rgb)], dtype=np.float64) / 3.0
+            return float(g.astype(np.float32)[0] / np.float32(255.0))
+
+        def _rms_feat0(i, n):
+            # closed form for a constant-sample wave: window-0 RMS = |sample|
+            # (same float32 walk; window 0 is fully inside the real samples)
+            sv = np.frombuffer(bytes([i % 256, (i * 7) % 256]), dtype="<i2")[0]
+            width = -(-n // 16)  # ceil: samples per RMS window
+            x = np.full(width, sv, dtype=np.int16).astype(np.float32) / 32768.0
+            return float(np.sqrt((x * x).mean(dtype=np.float32)).astype(np.float32))
+
+        rows, expected = [], []
+        for i in range(42):
+            if i % 3 == 0:
+                data, w, h, rgb = _ppm(i)
+                expected.append((f"m{i}", "image", w, h, 1, _gray_feat0(rgb)))
+            elif i % 3 == 1:
+                data, n = _wav(i)
+                expected.append((f"m{i}", "audio", 8000, 1, n, _rms_feat0(i, n)))
+            else:
+                data, w, h, rgb = _png(i)
+                expected.append((f"m{i}", "image", w, h, 1, _gray_feat0(rgb)))
+            rows.append((f"m{i}", bytearray(data)))
+        s.createDataFrame(
+            expected,
+            "doc_id string, kind string, width long, height long, n_frames long, feat0 double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{_SIDECAR}/media_expected")
+
         df = s.createDataFrame(rows, "doc_id string, media_bytes binary")
         out = decode_media_features(df, feat_dim=16)
         return out.select(
@@ -912,6 +999,29 @@ def oracle_sql() -> dict[str, str]:
           FROM e a, e b WHERE a.vec_id < b.vec_id
         )
         SELECT id1, id2, round(c, 6) AS cosine FROM p WHERE c >= 0.4
+    """
+    # precision-1.0 oracle for the (approximate-recall) LSH pairs: the
+    # sidecar'd emitted pairs must each be a TRUE >= min_cosine pair with the
+    # exact cosine — any false positive or wrong value breaks the match.
+    # (Recall >= 0.95 is pinned separately in tests/test_ann.py.)
+    o["lsh_cosine_pairs"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sc AS (SELECT id1, id2 FROM read_parquet('{_SIDECAR}/lsh_pairs/*.parquet')),
+        p AS (
+          SELECT a.vec_id AS id1, b.vec_id AS id2,
+                 list_cosine_similarity(a.v, b.v) AS c
+          FROM e a, e b WHERE a.vec_id < b.vec_id
+        )
+        SELECT p.id1, p.id2, round(p.c, 6) AS cosine
+        FROM p JOIN sc ON sc.id1 = p.id1 AND sc.id2 = p.id2
+        WHERE p.c >= 0.4
+    """
+    # closed-form expected values (constant-color images / constant-sample
+    # waves) computed WITHOUT the decoders and sidecar'd by the query
+    o["media_decode"] = f"""
+        SELECT doc_id, kind, width, height, n_frames,
+               round(CAST(feat0 AS DOUBLE), 6) AS feat0
+        FROM read_parquet('{_SIDECAR}/media_expected/*.parquet')
     """
     o["cosine_topk"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -5,9 +5,10 @@ Two decode paths:
 
 - `decode_media_features` — REAL decoders for formats parseable with the
   stdlib + NumPy (no PIL/ffmpeg in this container): binary netpbm images
-  (P5 grayscale / P6 RGB) and RIFF/WAVE PCM audio. Decode, nearest-neighbor
+  (P5 grayscale / P6 RGB), PNG (zlib inflate + scanline unfiltering, 8-bit
+  color types 0/2/3/4/6), and RIFF/WAVE PCM audio. Decode, block-mean
   thumbnail pooling, and windowed-RMS audio features all run vectorized on
-  the Arrow batch. Compressed formats (jpeg/png/mp4) raise
+  the Arrow batch. Remaining compressed formats (jpeg/mp4) raise
   NotImplementedError with on_error="error" (default "skip" drops them) —
   swapping in PIL/ffmpeg touches only `_decode_bytes`.
 - `extract_media_features` — for corpora that carry media by REFERENCE
@@ -132,10 +133,113 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ri[:, None], ci[None, :]]
 
 
+def block_mean_pool(gray: np.ndarray, grid: int) -> np.ndarray:
+    """grid x grid block-mean pooling (true grid means, not sampling).
+
+    Block boundaries are (i*h)//grid; images smaller than the grid are
+    nearest-upsampled first so no block is empty.
+    """
+    h, w = gray.shape
+    if h < grid or w < grid:
+        gray = resize_nearest(gray, max(h, grid), max(w, grid))
+        h, w = gray.shape
+    rb = (np.arange(grid + 1) * h) // grid
+    cb = (np.arange(grid + 1) * w) // grid
+    out = np.empty((grid, grid), dtype=np.float64)
+    for i in range(grid):
+        for j in range(grid):
+            out[i, j] = gray[rb[i] : rb[i + 1], cb[j] : cb[j + 1]].mean()
+    return out
+
+
 def _image_feature(img: np.ndarray, grid: int) -> np.ndarray:
-    """grid x grid mean-pooled grayscale thumbnail in [0, 1]."""
+    """grid x grid block-mean-pooled grayscale thumbnail in [0, 1]."""
+    if img.ndim == 3 and img.shape[2] in (2, 4):
+        img = img[:, :, : img.shape[2] - 1]  # drop the alpha channel
     gray = img.mean(axis=2) if img.ndim == 3 else img
-    return (resize_nearest(gray, grid, grid).astype(np.float32) / 255.0).ravel()
+    return (block_mean_pool(gray, grid).astype(np.float32) / 255.0).ravel()
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """PNG -> uint8 array (h, w, channels) with the stdlib only (zlib +
+    struct). Supports 8-bit depth, color types 0/2/3/4/6, no interlacing —
+    the overwhelmingly common encoder output. Palette images resolve to RGB.
+    """
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        (ln,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc (crc not verified)
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(chunk, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} colortype={ctype} interlace={interlace} unsupported "
+            "(stdlib decoder handles 8-bit, non-interlaced, color types 0/2/3/4/6)"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).astype(np.int32)
+        if f == 0:  # None
+            cur = row
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            cur = np.empty(stride, dtype=np.int32)
+            for k in range(ch):
+                cur[k::ch] = np.cumsum(row[k::ch]) % 256
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential left-dependency
+            cur = np.zeros(stride, dtype=np.int32)
+            zero = np.zeros(ch, dtype=np.int32)
+            for x in range(0, stride, ch):
+                left = cur[x - ch : x] if x else zero
+                up = prev[x : x + ch]
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = prev[x - ch : x] if x else zero
+                    p = left + up - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                    )
+                cur[x : x + ch] = (row[x : x + ch] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img[:, :, 0]]
+    return img
 
 
 def _decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
@@ -174,15 +278,15 @@ def _decode_bytes(data: bytes, feat_dim: int) -> tuple[str, int, int, int, np.nd
     n_frames = samples, feature = feat_dim RMS windows. Compressed formats
     need PIL/ffmpeg — NotImplementedError, handled per on_error policy.
     """
-    if data[:2] in (b"P5", b"P6"):
-        img = _decode_netpbm(data)
+    if data[:2] in (b"P5", b"P6") or data[:8] == _PNG_SIG:
+        img = _decode_png(data) if data[:8] == _PNG_SIG else _decode_netpbm(data)
         grid = max(int(feat_dim**0.5), 1)
         return "image", img.shape[1], img.shape[0], 1, _image_feature(img, grid)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         rate, nch, x = _decode_wav(data)
         return "audio", rate, nch, len(x), _audio_feature(x, feat_dim)
     raise NotImplementedError(
-        f"no stdlib decoder for magic {data[:4]!r} (jpeg/png/mp4 need PIL/ffmpeg)"
+        f"no stdlib decoder for magic {data[:4]!r} (jpeg/mp4 need PIL/ffmpeg)"
     )
 
 

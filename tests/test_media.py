@@ -1,15 +1,19 @@
-"""Real-decoder media tests: netpbm images and WAV PCM audio decoded from
-inline binary columns (stdlib + NumPy only — no PIL/ffmpeg needed)."""
+"""Real-decoder media tests: netpbm/PNG images and WAV PCM audio decoded
+from inline binary columns (stdlib + NumPy only — no PIL/ffmpeg needed)."""
 
 import io
+import struct
 import wave
+import zlib
 
 import numpy as np
 import pytest
 
 from fozzie_spark.media import (
     _decode_netpbm,
+    _decode_png,
     _decode_wav,
+    block_mean_pool,
     decode_media_features,
     resize_nearest,
 )
@@ -55,16 +59,96 @@ def test_wav_decode_local():
     assert np.abs(x).max() <= 1.0
 
 
+def png_bytes(img, ctype, filter_type=0, palette=None):
+    """Minimal PNG encoder (test-side forward filtering) for roundtrips."""
+    h, w = img.shape[:2]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    zero = np.zeros(ch, dtype=np.int32)
+    prev = np.zeros(w * ch, dtype=np.int32)
+    raws = []
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([zero, row[:-ch]]) if w * ch > ch else zero[: w * ch]
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            enc = (row - left) % 256
+        elif filter_type == 2:
+            enc = (row - prev) % 256
+        elif filter_type == 3:
+            enc = (row - ((left + prev) >> 1)) % 256
+        else:  # Paeth
+            ul = np.concatenate([zero, prev[:-ch]]) if w * ch > ch else zero[: w * ch]
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = (row - pred) % 256
+        raws.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    body = chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return b"\x89PNG\r\n\x1a\n" + body + chunk(b"IDAT", zlib.compress(b"".join(raws))) + chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_all_filters():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    for f in range(5):
+        got = _decode_png(png_bytes(img, ctype=2, filter_type=f))
+        assert np.array_equal(got, img), f"filter {f}"
+
+
+def test_png_color_types():
+    rng = np.random.RandomState(8)
+    gray = rng.randint(0, 256, size=(5, 7), dtype=np.uint8)
+    got = _decode_png(png_bytes(gray, ctype=0, filter_type=2))
+    assert np.array_equal(got[:, :, 0], gray)
+    rgba = rng.randint(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    got = _decode_png(png_bytes(rgba, ctype=6, filter_type=4))
+    assert np.array_equal(got, rgba)
+    # palette: indices resolve through PLTE to RGB
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(5, 5, 1), dtype=np.uint8)
+    got = _decode_png(png_bytes(idx, ctype=3, filter_type=1, palette=pal))
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+    with pytest.raises(NotImplementedError, match="interlace"):
+        data = png_bytes(gray, ctype=0)
+        # flip the interlace byte inside IHDR (offset 8+8+12)
+        _decode_png(data[:28] + b"\x01" + data[29:])
+
+
+def test_block_mean_pool():
+    gray = np.arange(16, dtype=np.float64).reshape(4, 4)
+    got = block_mean_pool(gray, 2)
+    assert np.allclose(got, [[2.5, 4.5], [10.5, 12.5]])  # true 2x2 block means
+    tiny = block_mean_pool(np.array([[4.0]]), 2)  # upsampled, all blocks = 4
+    assert np.allclose(tiny, 4.0)
+
+
 def test_decode_media_features_spark(spark):
+    rng = np.random.RandomState(3)
+    png_img = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
     rows = [
         ("img1", bytearray(ppm_bytes(8, 4))),
         ("img2", bytearray(pgm_bytes(6, 6, val=10))),
+        ("png1", bytearray(png_bytes(png_img, ctype=2, filter_type=3))),
         ("aud1", bytearray(wav_bytes(n_samples=1600, rate=16000))),
-        ("bad1", bytearray(b"\x89PNG\r\n\x1a\nnotdecodable")),
+        ("bad1", bytearray(b"\xff\xd8\xffjpegnotdecodable")),
     ]
     df = spark.createDataFrame(rows, "doc_id string, media_bytes binary")
     out = {r["doc_id"]: r for r in decode_media_features(df, feat_dim=16).collect()}
-    assert set(out) == {"img1", "img2", "aud1"}  # png skipped
+    assert set(out) == {"img1", "img2", "png1", "aud1"}  # jpeg skipped
+    assert out["png1"]["kind"] == "image"
+    assert (out["png1"]["width"], out["png1"]["height"]) == (4, 5)
+    exp0 = block_mean_pool(png_img.mean(axis=2), 4).astype(np.float32).ravel()[0] / np.float32(255.0)
+    assert abs(out["png1"]["feature"][0] - float(exp0)) < 1e-6
     assert out["img1"]["kind"] == "image"
     assert (out["img1"]["width"], out["img1"]["height"], out["img1"]["n_frames"]) == (8, 4, 1)
     assert len(out["img1"]["feature"]) == 16  # grid 4x4
