@@ -371,11 +371,13 @@ def sorted_neighborhood_candidates(
 
     sort_col = sort_expr if sort_expr is not None else F.col(key_col)
     n_parts = num_partitions or max(keys.sparkSession.sparkContext.defaultParallelism, 2)
+    # both consumers (partition counts + ranked rows) sit downstream of the
+    # SAME range exchange, which Catalyst reuses within the action — no
+    # persist needed, no cache left behind
     parts = (
         keys.select(key_col, sort_col.alias("__fz_sort"))
         .repartitionByRange(n_parts, "__fz_sort")
         .withColumn("__fz_pid", F.spark_partition_id())
-        .persist()
     )
     # partition offsets as a lazy cumulative sum over the (tiny) partition
     # counts — broadcast-joined back; no driver-side collect

@@ -17,12 +17,37 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _fingerprint(edges: DataFrame) -> tuple:
+    # (count, order-independent hash sum) — enough to detect any edge-set
+    # change between rounds (collision odds negligible); one scan, two
+    # aggregate expressions
     row = edges.agg(
         F.count(F.lit(1)),
         F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-        F.sum(F.xxhash64("v", "u").cast("decimal(38,0)")),
     ).first()
     return tuple(row)
+
+
+def _rm_path(spark, path: str) -> None:
+    """Recursively delete a path via the Hadoop FS API (works for any
+    supported filesystem, not just local)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
+def _persistent_ids(spark) -> set[int]:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _unpersist_ids(spark, ids) -> None:
+    """Unpersist persisted RDDs by id (the only handle PySpark exposes for
+    blocks pinned by DataFrame.localCheckpoint)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -63,9 +88,13 @@ def connected_components(
     Lineage is cut each `checkpoint_every` rounds. Default: localCheckpoint
     (executor-memory blocks — fast, but NOT tolerant to executor loss).
     Pass `checkpoint_dir` for RELIABLE rounds: each cut writes a parquet
-    stage table and re-reads it, so a lost executor (or a restarted job
-    reusing the dir) replays from the last round instead of dying — the
-    right mode on a real cluster / the 100 TB path.
+    stage table and re-reads it, so losing an executor mid-round only
+    recomputes from the previous round's table instead of the whole edge
+    lineage — the right mode on a real cluster / the 100 TB path. Round
+    tables are deleted as iterations advance; the LAST round's table backs
+    the returned DataFrame and is cleaned up with the checkpoint_dir by the
+    caller. (No cross-run resume: a restarted call recomputes from the
+    input edges.)
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -74,7 +103,7 @@ def connected_components(
     )
     all_nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
 
-    prev_fp = None
+    prev_fp, prev_path, prev_ids = None, None, set()
     for i in range(max_iter):
         e = _small_star(_large_star(e))
         if checkpoint_every and i % checkpoint_every == 0:
@@ -82,8 +111,19 @@ def connected_components(
                 path = f"{checkpoint_dir.rstrip('/')}/cc_round_{i}"
                 e.write.mode("overwrite").parquet(path)
                 e = e.sparkSession.read.parquet(path)
+                if prev_path:  # this round is durable; the one before is dead
+                    _rm_path(e.sparkSession, prev_path)
+                prev_path = path
             else:
+                # localCheckpoint pins executor blocks; free the previous
+                # round's as soon as this round is materialized (only the
+                # LAST round's blocks back the returned DataFrame — the
+                # caller frees those, or ContextCleaner does on GC)
+                spark = e.sparkSession
+                before = _persistent_ids(spark)
                 e = e.localCheckpoint(eager=True)
+                _unpersist_ids(spark, prev_ids)
+                prev_ids = _persistent_ids(spark) - before
         fp = _fingerprint(e)
         if fp == prev_fp:
             break

@@ -129,12 +129,13 @@ def fuzzy_string_join(
         _check_dtype(right, rc, ("string",), "right")
 
     lkeys, rkeys = _key_frames(left, right, by_pairs)
+    # the candidate builders reference the distinct-key frames from several
+    # branches (length band + gram paths, expansion); the distinct's shuffle
+    # exchange canonicalizes identically across branches, so Catalyst's
+    # ReuseExchange computes it once per action — no persist (and no cache
+    # left behind after the join; measured equal to the persist variant)
     l0 = lkeys.select("__fz_l0").distinct()
     r0 = rkeys.select("__fz_r0").distinct()
-    # the candidate builders reference the distinct-key frames several times
-    # (length band + gram paths, expansion); persist so the scan+distinct
-    # isn't recomputed per branch (6 parquet scans observed otherwise)
-    l0, r0 = l0.persist(), r0.persist()
 
     if method in EDIT_METHODS:
         cand = blocking.edit_candidates(
@@ -230,20 +231,21 @@ def soundex_codes(df: DataFrame, key: str, primary: str, alt: str) -> DataFrame:
 def _soundex_candidates(l0: DataFrame, r0: DataFrame) -> DataFrame:
     """Equality blocking on dual soundex codes; a pair is a candidate (and a
     match — distance is always 0) iff any of the 4 primary/alt code
-    combinations agree (soundex.rs:49-53). The coded frames are persisted so
-    the (Python) encoder UDF runs once per side, not once per combo join."""
-    lc = soundex_codes(l0, "__fz_l0", "__fz_pl", "__fz_al").persist()
-    rc = soundex_codes(r0, "__fz_r0", "__fz_pr", "__fz_ar").persist()
-    combos = [
-        lc.join(rc, F.col("__fz_pl") == F.col("__fz_pr")),
-        lc.join(rc, F.col("__fz_al") == F.col("__fz_pr")),
-        lc.join(rc, F.col("__fz_ar") == F.col("__fz_pl")),
-        lc.join(rc, F.col("__fz_al") == F.col("__fz_ar")),
-    ]
-    out = combos[0].select("__fz_l0", "__fz_r0")
-    for c in combos[1:]:
-        out = out.unionByName(c.select("__fz_l0", "__fz_r0"))
-    return out.distinct()
+    combinations agree (soundex.rs:49-53). Each side explodes its non-null
+    {primary, alt} codes into (key, code) rows, so ONE equi-join on the code
+    covers all 4 combinations — the encoder UDF appears once per side in the
+    plan and nothing needs to be persisted (no cache left behind)."""
+    lc = soundex_codes(l0, "__fz_l0", "__fz_pl", "__fz_al")
+    rc = soundex_codes(r0, "__fz_r0", "__fz_pr", "__fz_ar")
+    lx = lc.select(
+        "__fz_l0",
+        F.explode(F.array_compact(F.array("__fz_pl", "__fz_al"))).alias("__fz_code"),
+    )
+    rx = rc.select(
+        "__fz_r0",
+        F.explode(F.array_compact(F.array("__fz_pr", "__fz_ar"))).alias("__fz_code"),
+    )
+    return lx.join(rx, "__fz_code").select("__fz_l0", "__fz_r0").distinct()
 
 
 # ---------------------------------------------------------------------------

@@ -361,7 +361,13 @@ def er_pipeline(
             checkpoint_dir=f"{checkpoint_dir.rstrip('/')}/cc_rounds" if reliable_cc else None,
         ).select(F.col("node").alias("kid"), F.col("component").alias("entity_kid"))
 
+    from fozzie_spark.cluster import _persistent_ids, _unpersist_ids
+
+    _before_cc = _persistent_ids(spark)
     clusters = runner.stage("clusters", _clusters, params=params, depends_on=("edges",))
+    # the stage output is parquet-backed now — free CC's final-round
+    # localCheckpoint blocks (intermediate rounds free themselves)
+    _unpersist_ids(spark, _persistent_ids(spark) - _before_cc)
 
     # ---- stage 5: assign docs, carry spans byte-identical -------------------
     def _entities():
@@ -375,6 +381,10 @@ def er_pipeline(
         )
 
     entities = runner.stage("entities", _entities, params=params, depends_on=("clusters", "keys"))
+
+    # every stage is materialized (checkpointed) by now; the persisted
+    # distinct-key frame must not outlive the run in a long-lived session
+    uniq.unpersist()
 
     return {
         "keys": keys,

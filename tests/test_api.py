@@ -68,3 +68,31 @@ def test_carried_column_types(spark, test_df, whoops):
     row = out.where(out["`Name.x`"] == "Oliver").first()
     assert row["date_col"] == dt.date(2020, 1, 3)
     assert row["factor_col"] == "B"
+
+
+def _persistent_rdd_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_no_cache_left_behind(spark, tmp_path):
+    # join calls must not leak cached blocks into a long-lived session
+    from fozzie_spark.blocking import sorted_neighborhood_candidates
+    from fozzie_spark.pipeline import er_pipeline
+    from fozzie_spark.synth import synth_documents
+
+    names = spark.createDataFrame(
+        [(f"name {i} token{i % 7}",) for i in range(200)], "name string"
+    )
+    before = _persistent_rdd_ids(spark)
+    fz.fuzzy_string_join(names, names, by="name", method="lv", max_distance=1).count()
+    fz.fuzzy_string_join(names, names, by="name", method="soundex").count()
+    fz.fuzzy_string_join(
+        names, names, by="name", method="jaccard", max_distance=0.4
+    ).count()
+    sorted_neighborhood_candidates(names, "name", window=5).count()
+    er_pipeline(
+        spark, synth_documents(spark, 50, seed=7), checkpoint_dir=str(tmp_path),
+        resume=False,
+    )
+    leaked = _persistent_rdd_ids(spark) - before
+    assert not leaked, f"cached RDDs leaked: {leaked}"
