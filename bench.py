@@ -147,6 +147,11 @@ def main() -> int:
     )
     runner = out["runner"]
     timings["er_pipeline"] = round(time.time() - t0, 3)
+    stage_walls = {
+        st: runner.manifests[st]["wall_s"]
+        for st in ("keys", "pairs", "edges", "clusters", "entities")
+    }
+    print(f"er stage walls: {stage_walls}", file=sys.stderr)
     n_pairs = (
         runner.metric("pairs", "raw_candidates") or runner.metric("pairs", "rows") or 0
     )

@@ -55,9 +55,11 @@ def key_id(col):
 NSIG = 8
 
 
-def _bloom_signatures(uniq: DataFrame, q: int) -> DataFrame:
-    """(kid, n, s0..s7): per-key distinct-gram count + 512-bit gram Bloom
-    signature, computed as pure JVM expressions over the key string."""
+def _bloom_sig_cols(gs_col) -> list:
+    """s0..s7 Column list: 512-bit gram Bloom signature over a distinct-gram
+    array column, computed as pure JVM expressions."""
+
+    hashed = F.transform(gs_col, lambda g: F.xxhash64(g))
 
     def _sig(gs, i):
         one = F.lit(1).cast("long")
@@ -78,12 +80,7 @@ def _bloom_signatures(uniq: DataFrame, q: int) -> DataFrame:
             ),
         )
 
-    hashed = F.transform(F.array_distinct(qgrams_col("key", q)), lambda g: F.xxhash64(g))
-    return uniq.select(
-        "kid",
-        F.size(hashed).alias("n"),
-        *[_sig(hashed, i).alias(f"s{i}") for i in range(NSIG)],
-    )
+    return [_sig(hashed, i).alias(f"s{i}") for i in range(NSIG)]
 
 
 def er_pipeline(
@@ -135,7 +132,27 @@ def er_pipeline(
         ).withColumn("kid", key_id(F.col("key")))
 
     keys = runner.stage("keys", _keys, params={"q": q})
-    uniq = keys.select("key", "kid").where(F.col("key").isNotNull()).distinct().persist()
+    # the distinct-key dictionary, EXTENDED map-side with everything the
+    # later stages need per key: the distinct q-gram set (edges re-scores
+    # over it instead of re-extracting grams per pair), its size, and the
+    # 512-bit Bloom signature words (the pairs stage used to attach these
+    # via an extra broadcast join per side). One cache, many consumers.
+    bloom = method == "jaccard"
+    _gs = F.array_distinct(qgrams_col("key", q))
+    uniq = (
+        keys.select("key", "kid")
+        .where(F.col("key").isNotNull())
+        .distinct()
+        .select(
+            "key",
+            "kid",
+            _gs.alias("gs"),
+            F.size(_gs).alias("n"),
+            *(_bloom_sig_cols(_gs) if bloom else []),
+        )
+        .persist()
+    )
+    _stage_persists: list[DataFrame] = []  # freed after the pairs stage writes
 
     _uniq_n: list[int] = []
 
@@ -161,48 +178,61 @@ def er_pipeline(
             1 + min(n - rn, n2 - rn2) >= ceil(t/(1+t) * (n + n2)).
         `max_gram_df` remains as an (approximate) safety valve on top.
         """
-        from pyspark.sql import Window
-
         t = 1.0 - max_distance  # similarity threshold
-        grams = uniq.select(
-            F.col("kid"),
-            F.size(F.array_distinct(qgrams_col("key", q))).alias("n"),
-            F.explode(F.array_distinct(qgrams_col("key", q))).alias("g"),
+        sig_cols = [f"s{i}" for i in range(NSIG)] if bloom else []
+        # ---- signature fusion (jaccard): the 512-bit Bloom words ride ON
+        # the exploded gram rows from the start (precomputed once on the
+        # cached `uniq`, zero joins), so the candidate join emits pairs WITH
+        # both signatures attached and the Bloom test runs inline in the
+        # same codegen stage. The alternative (probing two broadcast
+        # signature tables per candidate row) costs 2 hash probes x 10^8-9
+        # rows; carrying them pays ~64 B/row more shuffle on the ~10^7 gram
+        # rows instead — sequential I/O for random probes, a bandwidth win
+        # at the candidate volumes this stage sees.
+        grams = uniq.select("kid", "n", *sig_cols, F.explode("gs").alias("g"))
+        # the per-gram df table is small (bounded by distinct grams);
+        # persisted because three consumers need it (the df lookup join, and
+        # the did-the-cap-trigger probe that gates the SN pass)
+        gram_df_all = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).persist()
+        _stage_persists.append(gram_df_all)
+        n_capped = (
+            gram_df_all.where(F.col("df") > max_gram_df).count() if max_gram_df else 0
         )
-        gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-        if max_gram_df:
-            gram_df = gram_df.where(F.col("df") <= max_gram_df)
-        # gram-df table is small (bounded by distinct grams) — broadcast so
-        # the exploded gram rows don't shuffle for the df lookup
+        gram_df = (
+            gram_df_all.where(F.col("df") <= max_gram_df) if max_gram_df else gram_df_all
+        )
+        # broadcast so the exploded gram rows don't shuffle for the df lookup
         grams = grams.join(F.broadcast(gram_df), "g")  # inner: drops capped grams
         positional = method == "jaccard" and t > 0
         if positional:
-            w = Window.partitionBy("kid").orderBy(F.col("df").asc(), F.col("g").asc())
-            prefix_len = F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-            grams = grams.withColumn("rn", F.row_number().over(w)).where(
-                F.col("rn") <= prefix_len
+            # rank grams by global rarity per key WITHOUT a window: one
+            # groupBy + per-key sort of a ~50-element array + posexplode of
+            # just the prefix. Same shuffle volume as the row_number window
+            # but no per-partition global sort (measured slightly faster),
+            # and the non-prefix tail never re-explodes.
+            plen = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
+            agg = grams.groupBy("kid", "n", *sig_cols).agg(
+                F.array_sort(F.collect_list(F.struct("df", "g"))).alias("__sorted")
+            )
+            grams = agg.select(
+                "kid", "n", *sig_cols,
+                F.posexplode(F.slice("__sorted", 1, plen)).alias("__p", "__e"),
+            ).select(
+                "kid", "n", *sig_cols,
+                F.col("__e.g").alias("g"), (F.col("__p") + 1).alias("rn"),
             )
         else:
             grams = grams.withColumn("rn", F.lit(1))
-        grams = grams.select("kid", "n", "g", "rn")
+        grams = grams.select("kid", "n", *sig_cols, "g", "rn")
 
-        # ---- signature fusion (jaccard): carry the 512-bit gram Bloom
-        # signature ON the prefix-gram rows, so the candidate join emits
-        # pairs WITH both signatures attached and the Bloom test runs inline
-        # in the same codegen stage. The alternative (probing two broadcast
-        # signature tables per candidate row) costs 2 hash probes x 10^8-9
-        # rows; fusing pays ~64 B/row more shuffle on the ~10^7 gram rows
-        # instead — sequential I/O for random probes, a bandwidth win at the
-        # candidate volumes this stage sees.
-        bloom = method == "jaccard"
-        if bloom:
-            # (recomputing the signature expression per broadcast build
-            # measured FASTER than persisting it — the cache materialization
-            # barrier costs more than the 2 extra evaluations over the
-            # already-persisted `uniq`)
-            sig_df = _bloom_signatures(uniq, q)
-            attach = F.broadcast(sig_df) if _n_uniq() < 8_000_000 else sig_df
-            grams = grams.drop("n").join(attach, "kid")  # n re-attached with sigs
+        # BOTH sides of the candidate self-join derive from this frame, and
+        # Catalyst does NOT reuse the exchange across the rename projection —
+        # without the persist the whole gram->prefix->signature chain
+        # (explode + shuffle + window) is computed twice per action
+        # (measured: raw-candidate job 17.6 s vs 10.2 s for one chain at
+        # 50k entities). MEMORY_AND_DISK, freed right after the stage write.
+        grams = grams.persist()
+        _stage_persists.append(grams)
         right_cols = {"kid": "kid2", "n": "n2", "rn": "rn2"}
         if bloom:
             right_cols.update({f"s{i}": f"b{i}" for i in range(NSIG)})
@@ -241,9 +271,14 @@ def er_pipeline(
         cand = cand.select("kid", "kid2")
 
         extra = None  # complementary candidates (sorted-neighborhood, short keys)
-        if sn_window:
+        if sn_window and n_capped:
             # complementary sorted-neighborhood pass (north rule): catches
-            # pairs whose shared grams were all dropped by the df cap
+            # pairs whose shared grams were ALL dropped by the df cap. When
+            # the cap never triggered (n_capped == 0) the PPJoin prefix
+            # filter is lossless on its own, so the pass is provably
+            # redundant and skipped — at small corpus sizes its fixed cost
+            # (range-sampling job + window + two Bloom probes) doesn't
+            # amortize; results are bit-identical either way
             from fozzie_spark.blocking import sorted_neighborhood_candidates
 
             sn = sorted_neighborhood_candidates(uniq.select("key"), "key", window=sn_window)
@@ -280,6 +315,7 @@ def er_pipeline(
                 # extraction over ~1 kB key strings per pair) at ~8 s — the
                 # cut wins at every scale. Empty-profile pairs (n = 0 both
                 # sides) are definite matches (jaccard dist 0), skip the test.
+                sig_df = uniq.select("kid", "n", *sig_cols)  # from the cache
                 a = sig_df.select(
                     "kid", F.col("n").alias("na"),
                     *[F.col(f"s{i}").alias(f"xa{i}") for i in range(NSIG)],
@@ -323,22 +359,37 @@ def er_pipeline(
         return cand.select("kid", "kid2").distinct(), obs
 
     pairs = runner.stage("pairs", _pairs, params=params, depends_on=("keys",))
+    for f in _stage_persists:  # pairs output is parquet-backed now
+        f.unpersist()
+    _stage_persists.clear()
     scored_input = pairs
     refine_dep = ("pairs",)
 
     # ---- stage 3: vectorized scoring -> edges (id pairs + distance) --------
     def _edges():
-        dict_a = uniq.select("kid", F.col("key").alias("__k1"))
-        dict_b = uniq.select(F.col("kid").alias("kid2"), F.col("key").alias("__k2"))
-        if _n_uniq() < 5_000_000:
-            dict_a, dict_b = F.broadcast(dict_a), F.broadcast(dict_b)
         # JVM expression scoring when the method allows (jaccard/lv/...):
         # the exact verifier then runs in whole-stage codegen with ZERO
         # Python workers; the Arrow UDF covers the DP methods.
-        dist = jvm_distance_col(method, "__k1", "__k2", max_distance, q=q)
-        if dist is None:
-            udf = string_distance_udf(method, max_distance=max_distance, q=q)
-            dist = udf(F.col("__k1"), F.col("__k2"))
+        if method == "jaccard":
+            # score over the PRECOMPUTED distinct-gram arrays on `uniq` —
+            # each key's q-gram extraction runs once per key at cache time,
+            # not once per candidate pair (a key appears in ~10+ pairs)
+            dict_a = uniq.select("kid", F.col("gs").alias("__g1"))
+            dict_b = uniq.select(F.col("kid").alias("kid2"), F.col("gs").alias("__g2"))
+            inter = F.size(F.array_intersect("__g1", "__g2"))
+            union = F.size("__g1") + F.size("__g2") - inter
+            dist = F.when(
+                (F.size("__g1") == 0) & (F.size("__g2") == 0), F.lit(0.0)
+            ).otherwise(F.lit(1.0) - inter.cast("double") / union.cast("double"))
+        else:
+            dict_a = uniq.select("kid", F.col("key").alias("__k1"))
+            dict_b = uniq.select(F.col("kid").alias("kid2"), F.col("key").alias("__k2"))
+            dist = jvm_distance_col(method, "__k1", "__k2", max_distance, q=q)
+            if dist is None:
+                udf = string_distance_udf(method, max_distance=max_distance, q=q)
+                dist = udf(F.col("__k1"), F.col("__k2"))
+        if _n_uniq() < 5_000_000:
+            dict_a, dict_b = F.broadcast(dict_a), F.broadcast(dict_b)
         return (
             scored_input.join(dict_a, "kid")
             .join(dict_b, "kid2")
