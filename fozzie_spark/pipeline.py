@@ -3,11 +3,12 @@ text+media documents:
 
     stage 1   keys      doc_id -> join key (ordered concat of text spans)
     stage 2   pairs     PPJoin-style blocking (prefix-filtered q-gram
-                        inverted index + positional filter + sorted
-                        neighborhood), FUSED with a map-side 512-bit gram
-                        Bloom-signature refine against a broadcast signature
-                        table -> surviving candidate KEY-ID pairs (raw
-                        candidate counts observed into the stage manifest)
+                        inverted index + positional filter + conditional
+                        sorted neighborhood), FUSED with a 512-bit gram
+                        Bloom-signature refine carried on the gram rows
+                        from the per-key cache -> surviving candidate
+                        KEY-ID pairs (raw candidate counts observed into
+                        the stage manifest)
     stage 3   edges     Arrow-batched pairwise scoring, threshold
     stage 4   clusters  large-star/small-star connected components
     stage 5   assign    docs join key->entity; spans carried untouched
