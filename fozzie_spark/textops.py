@@ -12,7 +12,11 @@ Scale notes:
   near-dup search into equi-joins on (band_idx, band_hash) — no cross
   join anywhere, hot bands can be salted like any blocking key.
 - SimHash reduces to 64 conditional sums in the same single aggregation
-  shape; near-dup = equi-join on 16-bit chunks (pigeonhole for hamming<=3).
+  shape; near-dup = equi-join on bit chunks (pigeonhole: h+1 chunks give
+  full recall at hamming <= h).
+- Exact shingle-Jaccard dedup uses PPJoin prefix+positional filtering
+  (lossless), so one hot shingle ("the end of" with df in the millions)
+  cannot make the candidate join quadratic in its document frequency.
 """
 
 from __future__ import annotations
