@@ -12,9 +12,11 @@ Two decode paths:
   NotImplementedError with on_error="error" (default "skip" drops them) —
   swapping in PIL/ffmpeg touches only `_decode_bytes`.
 - `extract_media_features` — for corpora that carry media by REFERENCE
-  (media_ref URIs, no bytes): fetch+decode is stubbed; pass
-  `deterministic_fake=True` for a seeded stand-in that keeps the plumbing
-  (schema, batch shape, partitioning) testable end-to-end.
+  (media_ref URIs, no bytes): `file://` refs are fetched from the
+  worker-local filesystem and decoded for real; remote schemes (s3/http)
+  need a fetch client not present here and raise/skip per `on_error`, or
+  substitute a seeded stand-in with `deterministic_fake=True` so the
+  plumbing (schema, batch shape, partitioning) stays testable end-to-end.
 """
 
 from __future__ import annotations
@@ -62,26 +64,48 @@ def _fake_decode(ref: str, kind: str, feat_dim: int) -> tuple[int, int, int, np.
 
 
 def extract_media_features(
-    docs: DataFrame, feat_dim: int = 32, deterministic_fake: bool = False
+    docs: DataFrame,
+    feat_dim: int = 32,
+    deterministic_fake: bool = False,
+    on_error: str = "error",
 ) -> DataFrame:
     """Decode + feature-extract every media span via mapInPandas.
 
-    Real deployment: replace the fake branch with PIL/ffmpeg decode of the
-    bytes fetched from `media_ref` (or an inline binary column). Batch
-    shape, output schema, and partitioning are production-ready as-is.
+    `file://` refs are REAL: bytes are read from the worker-local path and
+    decoded by the stdlib decoders (netpbm / PNG / WAV — same path as
+    `decode_media_features`). Other schemes (s3://, http://) need a fetch
+    client not present in this container: they raise NotImplementedError
+    (on_error="error", default) or are dropped (on_error="skip"), unless
+    `deterministic_fake=True`, which substitutes a seeded stand-in so the
+    plumbing (schema, batch shape, partitioning) stays testable end-to-end.
     """
+    if on_error not in ("skip", "error"):
+        raise ValueError(f"unknown on_error {on_error!r}")
     refs = media_refs(docs)
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "media decode needs PIL/ffmpeg/librosa (not in this container); "
-                    "pass deterministic_fake=True for the plumbing path"
-                )
             rows = []
             for doc_id, ref, kind in zip(pdf["doc_id"], pdf["media_ref"], pdf["kind"]):
-                w, h, nf, feat = _fake_decode(ref, kind, feat_dim)
+                if deterministic_fake:
+                    w, h, nf, feat = _fake_decode(ref, kind, feat_dim)
+                elif ref and ref.startswith("file://"):
+                    try:
+                        with open(ref[len("file://"):], "rb") as f:
+                            _kind, w, h, nf, feat = _decode_bytes(f.read(), feat_dim)
+                    except Exception:
+                        if on_error == "error":
+                            raise
+                        continue
+                else:
+                    err = NotImplementedError(
+                        f"no fetch client for media_ref {ref!r} (s3/http need a "
+                        "client not in this container); file:// refs decode for "
+                        "real, or pass deterministic_fake=True"
+                    )
+                    if on_error == "error":
+                        raise err
+                    continue
                 rows.append((doc_id, ref, kind, w, h, nf, feat))
             yield pd.DataFrame(
                 rows,

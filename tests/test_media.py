@@ -161,3 +161,37 @@ def test_decode_media_features_spark(spark):
 
     with pytest.raises(Exception, match="no stdlib decoder"):
         decode_media_features(df, feat_dim=16, on_error="error").collect()
+
+
+def test_extract_media_features_file_refs(spark, tmp_path):
+    # file:// refs decode for REAL through the by-reference path
+    (tmp_path / "a.ppm").write_bytes(ppm_bytes(6, 4))
+    (tmp_path / "b.wav").write_bytes(wav_bytes(n_samples=320, rate=8000))
+    rng = np.random.RandomState(5)
+    png_img = rng.randint(0, 256, size=(3, 7, 3), dtype=np.uint8)
+    (tmp_path / "c.png").write_bytes(png_bytes(png_img, ctype=2, filter_type=2))
+
+    def doc(i, name, kind):
+        return (
+            f"d{i}",
+            [{"kind": kind, "text": "", "media_ref": f"file://{tmp_path}/{name}", "offset": 0}],
+        )
+
+    from fozzie_spark.media import extract_media_features
+
+    docs = spark.createDataFrame(
+        [doc(0, "a.ppm", "image"), doc(1, "b.wav", "audio"), doc(2, "c.png", "image")],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = {r["doc_id"]: r for r in extract_media_features(docs, feat_dim=16).collect()}
+    assert (out["d0"]["width"], out["d0"]["height"]) == (6, 4)
+    assert (out["d1"]["width"], out["d1"]["n_frames"]) == (8000, 320)
+    assert (out["d2"]["width"], out["d2"]["height"]) == (7, 3)
+    # unknown scheme: error by default, skipped with on_error="skip"
+    bad = spark.createDataFrame(
+        [("dx", [{"kind": "image", "text": "", "media_ref": "s3://bucket/x.jpg", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no fetch client"):
+        extract_media_features(bad, feat_dim=16).collect()
+    assert extract_media_features(bad, feat_dim=16, on_error="skip").count() == 0
