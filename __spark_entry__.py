@@ -398,6 +398,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "fingerprint"
     )
 
+    q["near_dedup"] = lambda s, d: textops.near_dedup(
+        _docs(s, d), "doc_id", "text", method="jaccard", shingle_w=3, max_distance=0.6
+    ).select(
+        "doc_id", "dup_group",
+        F.col("group_size").cast("bigint").alias("group_size"), "is_canonical",
+    )
+
     # ---- connected components (over jaccard dedup edges) -----------------------
     def _cc(s, d):
         edges = textops.jaccard_dedup_pairs(_docs(s, d), "doc_id", "text", 3, 0.6)
@@ -964,6 +971,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT n AS node, least(n, min(r.b)) AS component
         FROM nodes LEFT JOIN reach r ON r.a = n
         GROUP BY n
+    """
+    o["near_dedup"] = f"""
+        WITH RECURSIVE e AS (
+          SELECT id1 AS a, id2 AS b FROM (
+            WITH s AS ({_SH}),
+            p AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2,
+                     1.0 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))) AS d
+              FROM s a, s b
+              WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+            ) SELECT id1, id2 FROM p WHERE d <= 0.6
+          )
+        ),
+        und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        comp AS (SELECT a AS k, least(a, min(b)) AS c FROM reach GROUP BY a),
+        g AS (
+          SELECT d.doc_id, coalesce(c.c, d.doc_id) AS dup_group
+          FROM documents d LEFT JOIN comp c ON c.k = d.doc_id
+        )
+        SELECT doc_id, dup_group,
+               CAST(count(*) OVER (PARTITION BY dup_group) AS BIGINT) AS group_size,
+               doc_id = min(doc_id) OVER (PARTITION BY dup_group) AS is_canonical
+        FROM g
     """
     o["simhash_pairs"] = f"""
         WITH s AS (SELECT * FROM read_parquet('{_SIDECAR}/simhash/*.parquet')),

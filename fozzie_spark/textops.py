@@ -177,6 +177,54 @@ def jaccard_dedup_pairs(
     )
 
 
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    method: str = "minhash",
+    shingle_w: int = 3,
+    max_distance: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """End-to-end near-duplicate grouping: candidate pairs -> exact-verified
+    edges -> connected components -> (id, dup_group, group_size,
+    is_canonical), the same output shape as `exact_dedup`.
+
+    method="minhash" (default): MinHash-LSH candidates + exact shingle
+    Jaccard verify — the 100 TB path (recall follows the band curve).
+    method="jaccard": exact PPJoin candidates — lossless, SQL-checkable.
+    dup_group = min doc id in the near-dup component; singletons group
+    with themselves. Canonical row = min id per group.
+    """
+    from pyspark.sql import Window
+
+    from fozzie_spark.cluster import connected_components
+
+    if method == "minhash":
+        pairs = minhash_dedup_pairs(
+            df, id_col, text_col, num_hashes, bands, shingle_w, max_distance
+        )
+    elif method == "jaccard":
+        pairs = jaccard_dedup_pairs(
+            df, id_col, text_col, shingle_w, max_distance, max_shingle_df
+        )
+    else:
+        raise ValueError(f"unknown near_dedup method {method!r}")
+    cc = connected_components(pairs, "id1", "id2").select(
+        F.col("node").alias(id_col), F.col("component").alias("__fz_comp")
+    )
+    w = Window.partitionBy("dup_group")
+    return (
+        df.join(cc, id_col, "left")
+        .withColumn("dup_group", F.coalesce("__fz_comp", F.col(id_col)))
+        .drop("__fz_comp")
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(w))
+    )
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -152,6 +152,34 @@ def test_jaccard_hot_shingle_stays_linear(spark):
     assert got == brute and len(brute) >= 2  # lossless under the hot shingle
 
 
+def test_near_dedup(docs):
+    # brute-force oracle: union-find over exact jaccard pairs
+    parent = {i: i for i, _ in DOCS}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for i, j in true_jaccard_pairs(3, 0.5):
+        ri, rj = find(i), find(j)
+        parent[max(ri, rj)] = min(ri, rj)
+    groups = {i: find(i) for i, _ in DOCS}
+    sizes = {g: sum(1 for v in groups.values() if v == g) for g in groups.values()}
+
+    for method in ("jaccard", "minhash"):
+        out = {
+            r["id"]: r
+            for r in textops.near_dedup(docs, "id", "text", method=method,
+                                        shingle_w=3, max_distance=0.5).collect()
+        }
+        assert len(out) == len(DOCS)
+        for i, _ in DOCS:
+            assert out[i]["dup_group"] == groups[i], (method, i)
+            assert out[i]["group_size"] == sizes[groups[i]]
+            assert out[i]["is_canonical"] == (i == groups[i])
+
+
 def test_jaccard_max_shingle_df_valve(spark):
     # the approximate valve drops hot shingles from the index entirely;
     # pairs whose ONLY shared shingles are hot are (documented) recall loss
