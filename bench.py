@@ -114,6 +114,13 @@ def main() -> int:
             docs, "doc_id", "text", num_hashes=64, bands=16, shingle_w=3, max_distance=0.6
         ).count(),
     )
+    # 6b. end-to-end near-dup grouping (minhash path + CC + canonicals)
+    bench(
+        "near_dedup",
+        lambda: textops.near_dedup(
+            docs, "doc_id", "text", method="minhash", shingle_w=3, max_distance=0.6
+        ).count(),
+    )
     # 7. ANN top-k (100 probes against the full corpus)
     emb = rd("embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     probes = emb.where(F.col("vec_id") < 100)
