@@ -398,6 +398,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "fingerprint"
     )
 
+    def _sessionize(s, d):
+        from fozzie_spark.streaming import sessionize
+
+        ev = s.read.parquet(f"{d}/events.parquet")
+        out = sessionize(ev, "user_id", "ts", "value", gap_seconds=600)
+        return out.select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ltz").cast("double").alias("start_epoch"),
+            F.col("session_end").cast("timestamp_ltz").cast("double").alias("end_epoch"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("total_value", 6).alias("total_value"),
+        )
+
+    q["sessionize"] = _sessionize
+
     q["near_dedup"] = lambda s, d: textops.near_dedup(
         _docs(s, d), "doc_id", "text", method="jaccard", shingle_w=3, max_distance=0.6
     ).select(
@@ -971,6 +986,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT n AS node, least(n, min(r.b)) AS component
         FROM nodes LEFT JOIN reach r ON r.a = n
         GROUP BY n
+    """
+    o["sessionize"] = """
+        WITH m AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 600
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, ts, value,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m
+        )
+        SELECT user_id,
+               epoch(min(ts)) AS start_epoch,
+               epoch(max(ts)) AS end_epoch,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS total_value
+        FROM s GROUP BY user_id, sid
     """
     o["near_dedup"] = f"""
         WITH RECURSIVE e AS (

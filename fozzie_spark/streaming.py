@@ -8,6 +8,11 @@ counterparts a continuously-ingesting training-data pipeline needs:
 - `streaming_enrich`: stateless per-row enrichment (fingerprint, token
   counts, quality, language id) — identical expressions to the batch ops,
   so batch/stream parity is by construction
+- `streaming_sessionize` / `sessionize`: CUSTOM stateful sessionization
+  via `applyInPandasWithState` (event-time timeouts, per-key open-session
+  state) and its batch twin via `applyInPandas` — both share the same
+  splitting rule, so batch/stream parity is by construction; the batch
+  side is oracle-gated against a DuckDB window-function sessionization.
 - `streaming_incremental_match`: foreachBatch incremental linkage — each
   micro-batch is fuzzy-joined against the (broadcastable) canonical entity
   key table and appended with its match; new unmatched keys accumulate in
@@ -43,6 +48,134 @@ def streaming_exact_dedup(
         textops.fingerprint(stream, text_col)
         .withWatermark(event_time_col, watermark)
         .dropDuplicates(["fingerprint"])
+    )
+
+
+def _split_sessions(ts_us, vals, gap_us, max_us, cur=None):
+    """Shared session-splitting rule (batch + streaming): returns
+    (closed_sessions, open_session) where each session is
+    (start_us, last_us, n, total), all times in MICROseconds (full
+    timestamp precision). `cur` seeds an open session."""
+    closed = []
+    for i in sorted(range(len(ts_us)), key=lambda j: ts_us[j]):
+        t, v = ts_us[i], vals[i]
+        if cur is not None and (t - cur[1] > gap_us or (max_us and t - cur[0] > max_us)):
+            closed.append(cur)
+            cur = None
+        if cur is None:
+            cur = (t, t, 1, v)
+        else:
+            cur = (cur[0], max(cur[1], t), cur[2] + 1, cur[3] + v)
+    return closed, cur
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+    max_session_seconds: int | None = None,
+) -> DataFrame:
+    """Batch counterpart of `streaming_sessionize` (same closing rules,
+    shared splitter — batch/stream parity by construction): per-key
+    applyInPandas emits EVERY session including the final open one.
+    Scale shape: one shuffle on the key, Arrow-batched per-group work."""
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+    max_us = max_session_seconds * 1_000_000 if max_session_seconds else None
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        ts_us = [int(t.value // 10**3) for t in pd.to_datetime(pdf[ts_col])]
+        vals = [float(v) for v in pdf[value_col]]
+        closed, cur = _split_sessions(ts_us, vals, gap_us, max_us)
+        if cur is not None:
+            closed.append(cur)
+        return pd.DataFrame(
+            [
+                (key, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), n, tot)
+                for (s, e, n, tot) in closed
+            ],
+            columns=[key_col, "session_start", "session_end", "n_events", "total_value"],
+        )
+
+    return df.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(fn, out_schema)
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_seconds: int = 1800,
+    max_session_seconds: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful sessionization via `applyInPandasWithState`:
+    per-key event sessions that close after `gap_seconds` of silence
+    (event-time timeout) — and, unlike the built-in
+    `F.session_window` aggregation, support CUSTOM closing rules:
+    `max_session_seconds` force-closes a session whose total duration
+    exceeds the cap, however busy it is (bot/abuse cut-off).
+
+    Emits (key, session_start, session_end, n_events, total_value) rows
+    as sessions CLOSE (append mode). State per key is one open session
+    (4 longs + a double), bounded by key cardinality; the event-time
+    timeout is re-armed to last_event + gap on every update, so idle
+    keys are flushed and evicted as the watermark passes.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    state_schema = "start long, last long, n long, total double"
+    gap_us = gap_seconds * 1_000_000
+    max_us = max_session_seconds * 1_000_000 if max_session_seconds else None
+
+    def fn(key, pdfs, state: GroupState):
+        sessions = []
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            sessions.append((key[0], start, last, n, total))
+            state.remove()
+        else:
+            ts_us, vals = [], []
+            for pdf in pdfs:
+                ts_us.extend(int(t.value // 10**3) for t in pd.to_datetime(pdf[ts_col]))
+                vals.extend(float(v) for v in pdf[value_col])
+            cur = tuple(state.get) if state.exists else None
+            closed, cur = _split_sessions(ts_us, vals, gap_us, max_us, cur)
+            sessions.extend((key[0],) + c for c in closed)
+            if cur is not None:
+                state.update(cur)
+                # GroupState timeouts are millisecond-granular
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+            else:
+                state.remove()
+        if sessions:
+            yield pd.DataFrame(
+                [
+                    (k, pd.Timestamp(s, unit="us"), pd.Timestamp(e, unit="us"), n, tot)
+                    for (k, s, e, n, tot) in sessions
+                ],
+                columns=[key_col, "session_start", "session_end", "n_events", "total_value"],
+            )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
     )
 
 

@@ -80,3 +80,95 @@ def test_incremental_match(spark, tmp_path):
     for r in assigns2.collect():
         by_doc.setdefault(r["doc_id"], set()).add(r["entity_id"])
     assert by_doc["c"] & (by_doc["a"] | by_doc["b"])  # c joined an existing entity
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # batch 1: user 1 has two bursts separated by > gap (in-batch split);
+    # user 2 has one event
+    _write_events(
+        spark, src,
+        [(1, at(0), 1.0), (1, at(1), 2.0), (1, at(20), 4.0), (2, at(0), 8.0)],
+    )
+    # batch 2: only user 2 — advances the watermark past user 1's timeout
+    _write_events(spark, src, [(2, at(120), 16.0)])
+    # batch 3: only user 2 again — lets batch-2's watermark fire timeouts
+    _write_events(spark, src, [(2, at(240), 32.0)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming.streaming_sessionize(
+            stream, gap_seconds=300, watermark="1 second"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # user 1: burst (12:00-12:01, 2 events, 3.0) closed by the in-batch gap;
+    # burst (12:20, 1 event, 4.0) closed by event-time timeout
+    u1 = [r for r in rows if r[0] == 1]
+    assert (1, at(0), at(1), 2, 3.0) in u1
+    assert (1, at(20), at(20), 1, 4.0) in u1
+    # user 2's 12:00 event sessionized away from the later ones
+    u2 = [r for r in rows if r[0] == 2]
+    assert any(r[1] == at(0) and r[3] == 1 and r[4] == 8.0 for r in u2)
+
+
+def test_sessionize_max_session_cap(spark, tmp_path):
+    # events 2 min apart never hit the 5-min gap, but the 10-min session cap
+    # force-closes the run — a rule session_window cannot express
+    src = str(tmp_path / "ev2")
+    out = str(tmp_path / "sess_out2")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(7, t0 + dt.timedelta(minutes=2 * i), 1.0) for i in range(8)]
+    _write_events(spark, src, rows)
+    _write_events(spark, src, [(8, t0 + dt.timedelta(hours=3), 0.0)])
+    _write_events(spark, src, [(8, t0 + dt.timedelta(hours=6), 0.0)])
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming.streaming_sessionize(
+            stream, gap_seconds=300, max_session_seconds=600, watermark="1 second"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    u7 = sorted(
+        (r["session_start"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] == 7
+    )
+    # 8 events 2-min apart, 10-min cap: closes after the first event past
+    # +10min, i.e. sessions of 6 events (0..10 min) then the rest
+    assert u7 and u7[0][1] == 6
