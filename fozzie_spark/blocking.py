@@ -44,6 +44,52 @@ def _gram_counts(keys: DataFrame, key: str, q: int) -> DataFrame:
     )
 
 
+def _count_map_col(col: str, q: int):
+    """map<gram, multiset count> per key, built as pure JVM expressions."""
+    ga = qgrams_col(col, q)
+    sa = F.array_distinct(ga)
+    return F.map_from_arrays(
+        sa, F.transform(sa, lambda g: F.size(F.filter(ga, lambda x: x == g)))
+    )
+
+
+def _rarity_prefix_tokens(
+    lkeys: DataFrame, rkeys: DataFrame, lkey: str, rkey: str, q: int, plen
+):
+    """(l_prefix, r_prefix) token frames for prefix-filtered candidate joins.
+
+    Each key's distinct grams are ranked by GLOBAL rarity (document
+    frequency over BOTH sides — the prefix theorem needs one shared total
+    order); only the first `plen(n)` grams per key survive, where `plen`
+    maps the distinct-gram count column to the admissible prefix length.
+    Hot grams are the most frequent, so they sort last and almost never
+    land in a prefix — THE property that keeps the candidate equi-join
+    sub-quadratic under power-law gram frequencies (Chaudhuri et al.
+    ICDE'06; Xiao et al. WWW'08/VLDB'08).
+    """
+    lx = lkeys.select(lkey, F.explode(F.array_distinct(qgrams_col(lkey, q))).alias("__fz_g"))
+    rx = rkeys.select(rkey, F.explode(F.array_distinct(qgrams_col(rkey, q))).alias("__fz_g"))
+    gram_df = (
+        lx.select("__fz_g")
+        .unionByName(rx.select("__fz_g"))
+        .groupBy("__fz_g")
+        .agg(F.count(F.lit(1)).alias("__fz_df"))
+    )
+
+    def _prefix(ex: DataFrame, key: str) -> DataFrame:
+        agg = (
+            ex.join(gram_df, "__fz_g")
+            .groupBy(key)
+            .agg(F.array_sort(F.collect_list(F.struct("__fz_df", "__fz_g"))).alias("__fz_s"))
+        )
+        n = F.size("__fz_s")
+        return agg.select(
+            key, F.explode(F.slice("__fz_s", 1, plen(n).cast("int"))).alias("__fz_e")
+        ).select(key, F.col("__fz_e.__fz_g").alias("__fz_g"))
+
+    return _prefix(lx, lkey), _prefix(rx, rkey)
+
+
 def edit_candidates(
     lkeys: DataFrame,
     rkeys: DataFrame,
@@ -93,23 +139,43 @@ def edit_candidates(
     rs = r.filter(F.col("__fz_rl") < short_cut)
     short_pairs = ls.join(rs, F.col("__fz_bl") == F.col("__fz_rl")).select(lkey, rkey)
 
-    # long path: gram-count inverted index join
-    lg = _gram_counts(lkeys, lkey, q).withColumnRenamed("__fz_c", "__fz_cl")
-    rg = _gram_counts(rkeys, rkey, q).withColumnRenamed("__fz_c", "__fz_cr")
-    shared = (
-        lg.join(rg, "__fz_g")
-        .groupBy(lkey, rkey)
-        .agg(F.sum(F.least("__fz_cl", "__fz_cr")).alias("__fz_shared"))
+    # long path: PREFIX-FILTERED gram index (Ed-Join, Xiao et al. VLDB'08).
+    # A pair within edit distance tau keeps all but <= damage*tau of either
+    # side's distinct grams, so their rarity-ordered prefixes of length
+    # damage*tau + 1 must intersect — lossless, and hot grams (power-law!)
+    # stay out of prefixes, so the candidate equi-join is no longer
+    # quadratic in the hottest gram's document frequency. The multiset
+    # count bound is then verified per candidate over precomputed count
+    # maps — the post-filter candidate set is IDENTICAL to the old
+    # share-any-gram + SUM(min(count)) design.
+    lp, rp = _rarity_prefix_tokens(
+        lkeys, rkeys, lkey, rkey, q, lambda n: F.least(n, F.lit(damage * tau + 1))
+    )
+    cand0 = lp.join(rp, "__fz_g").select(lkey, rkey).distinct()
+    lprof = lkeys.select(
+        lkey,
+        F.array_distinct(qgrams_col(lkey, q)).alias("__fz_sa"),
+        _count_map_col(lkey, q).alias("__fz_ml"),
+        F.length(lkey).alias("__fz_ll"),
+    )
+    rprof = rkeys.select(
+        rkey,
+        F.array_distinct(qgrams_col(rkey, q)).alias("__fz_sb"),
+        _count_map_col(rkey, q).alias("__fz_mr"),
+        F.length(rkey).alias("__fz_rl"),
+    )
+    shared = F.aggregate(
+        F.array_intersect("__fz_sa", "__fz_sb"),
+        F.lit(0),
+        lambda acc, g: acc
+        + F.least(F.element_at("__fz_ml", g), F.element_at("__fz_mr", g)),
     )
     long_pairs = (
-        shared.withColumn("__fz_ll", F.length(lkey))
-        .withColumn("__fz_rl", F.length(rkey))
+        cand0.join(lprof, lkey)
+        .join(rprof, rkey)
         .filter(F.greatest("__fz_ll", "__fz_rl") >= short_cut)
         .filter(F.abs(F.col("__fz_ll") - F.col("__fz_rl")) <= tau)
-        .filter(
-            F.col("__fz_shared")
-            >= F.greatest("__fz_ll", "__fz_rl") - q + 1 - damage * tau
-        )
+        .filter(shared >= F.greatest("__fz_ll", "__fz_rl") - q + 1 - damage * tau)
         .select(lkey, rkey)
     )
     return short_pairs.unionByName(long_pairs)
@@ -142,12 +208,41 @@ def ngram_candidates(
     lsets = lkeys.select(lkey, F.array_distinct(qgrams_col(lkey, q)).alias("__fz_gs"))
     rsets = rkeys.select(rkey, F.array_distinct(qgrams_col(rkey, q)).alias("__fz_gs2"))
 
+    if method == "jaccard" and max_distance < 1.0:
+        # PREFIX-FILTERED index (PPJoin): jaccard_sim >= t = 1 - tau forces
+        # the rarity-ordered prefixes (first n - ceil(t*n) + 1 grams) to
+        # intersect — lossless for t > 0 and hot-gram-proof, unlike the
+        # share-any-gram join. (At tau >= 1 the share-any-gram path below
+        # keeps the reference's quirk: pairs with NO shared gram sit at
+        # dist exactly 1.0 and are not emitted, jaccard.rs:118-158.)
+        t = 1.0 - max_distance
+        lp, rp = _rarity_prefix_tokens(
+            lkeys, rkeys, lkey, rkey, q, lambda n: n - F.ceil(F.lit(t) * n) + 1
+        )
+        cand = lp.join(rp, "__fz_g").select(lkey, rkey).distinct()
+        ln = lsets.select(lkey, F.size("__fz_gs").alias("__fz_nl"))
+        rn = rsets.select(rkey, F.size("__fz_gs2").alias("__fz_nr"))
+        pairs = (
+            cand.join(ln, lkey)
+            .join(rn, rkey)
+            # size-bound prune: best-case distance 1 - min/max must be <= tau
+            .filter(
+                F.lit(1.0)
+                - F.least("__fz_nl", "__fz_nr") / F.greatest("__fz_nl", "__fz_nr")
+                <= max_distance
+            )
+            .select(lkey, rkey)
+        )
+        empty_l = lsets.filter(F.size("__fz_gs") == 0).select(lkey)
+        empty_r = rsets.filter(F.size("__fz_gs2") == 0).select(rkey)
+        return pairs.unionByName(empty_l.crossJoin(empty_r))
+
     lx = lsets.select(lkey, F.size("__fz_gs").alias("__fz_nl"), F.explode("__fz_gs").alias("__fz_g"))
     rx = rsets.select(rkey, F.size("__fz_gs2").alias("__fz_nr"), F.explode("__fz_gs2").alias("__fz_g"))
     pairs = lx.join(rx, "__fz_g").select(lkey, rkey, "__fz_nl", "__fz_nr").distinct()
 
     if method == "jaccard":
-        # size-bound prune: best-case distance 1 - min/max must be <= tau
+        # tau >= 1: every pair with a shared gram matches; size bound vacuous
         pairs = pairs.filter(
             F.lit(1.0)
             - F.least("__fz_nl", "__fz_nr") / F.greatest("__fz_nl", "__fz_nr")

@@ -124,3 +124,55 @@ def test_jaro_candidates_falls_back_to_cross(spark):
     # negative prefix weight could DECREASE distance => no sound pruning
     cand2 = blocking.jaro_candidates(ldf, rdf, "__fz_l0", "__fz_r0", 0.3, prefix_weight=-0.5)
     assert cand2.count() == 4
+
+
+def test_edit_candidates_hot_gram_stays_linear(spark):
+    # every key ends in the same hot 16-char suffix: the share-any-gram
+    # design was quadratic in the hot gram's frequency; the Ed-Join prefix
+    # filter must keep candidates near-linear WITHOUT losing any match
+    n = 300
+    vals = [f"u{i:05d}z{i % 7}commonhotsuffix" for i in range(n)]
+    vals += [vals[0][:-1] + "X", vals[1][:-1] + "X"]  # two implanted near-dups
+    ldf, rdf = kdf(spark, vals, "__fz_l0"), kdf(spark, vals, "__fz_r0")
+    cand = blocking.edit_candidates(ldf, rdf, "__fz_l0", "__fz_r0", 1, method="levenshtein")
+    n_cand = cand.count()
+    assert n_cand < 20 * len(vals)  # share-any-gram would give ~n^2 = 91k
+    got = {tuple(r) for r in cand.collect()}
+    true = {
+        (a, b)
+        for a in vals
+        for b in vals
+        if D.score_batch("levenshtein", [a], [b], max_distance=1)[0] <= 1
+    }
+    assert true <= got  # lossless
+    assert (vals[0], vals[0][:-1] + "X") in got
+
+
+def test_ngram_jaccard_hot_gram_stays_linear(spark):
+    # unique parts are random letters (rare grams); only the suffix is hot —
+    # sequential ids would share most 2-grams and genuinely match
+    import random
+
+    rng = random.Random(99)
+    n = 300
+    vals = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(10))
+        + "commonhotsuffix"
+        for _ in range(n)
+    ]
+    vals += [vals[0][:-1] + "X", vals[1][:-1] + "X"]
+    ldf, rdf = kdf(spark, vals, "__fz_l0"), kdf(spark, vals, "__fz_r0")
+    cand = blocking.ngram_candidates(ldf, rdf, "__fz_l0", "__fz_r0", "jaccard", 0.3, 2)
+    n_cand = cand.count()
+    # rare random grams keep prefixes selective: ~8% of the n^2 = 91k pairs
+    # the share-any-gram join produced (every pair shares the hot suffix)
+    assert n_cand < 0.1 * len(vals) ** 2
+    got = {tuple(r) for r in cand.collect()}
+    true = {
+        (a, b)
+        for a in vals
+        for b in vals
+        if D.score_batch("jaccard", [a], [b], max_distance=0.3, q=2)[0] <= 0.3
+    }
+    assert true <= got
+    assert (vals[0], vals[0][:-1] + "X") in got
