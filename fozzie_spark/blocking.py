@@ -264,10 +264,18 @@ def ngram_candidates(
             .filter(F.col("__fz_tl") + F.col("__fz_tr") <= tau)
             .select(lkey, rkey)
         )
+        # PREFIX-FILTERED index: each distinct gram missing from the other
+        # side contributes >= 1 to the qgram distance, so dist <= tau bounds
+        # either side's distinct-set difference by tau — rarity-ordered
+        # prefixes of length tau + 1 must intersect (lossless; pairs with NO
+        # shared gram have dist T1 + T2, covered by the `small` block).
+        lp, rp = _rarity_prefix_tokens(
+            lkeys, rkeys, lkey, rkey, q, lambda n: F.least(n, F.lit(int(tau) + 1))
+        )
+        cand = lp.join(rp, "__fz_g").select(lkey, rkey).distinct()
         # prune: qgram dist >= |t1 - t2|
         sized = (
-            pairs.select(lkey, rkey)
-            .join(lc, lkey)
+            cand.join(lc, lkey)
             .join(rc, rkey)
             .filter(F.abs(F.col("__fz_tl") - F.col("__fz_tr")) <= tau)
             .select(lkey, rkey)

@@ -176,3 +176,29 @@ def test_ngram_jaccard_hot_gram_stays_linear(spark):
     }
     assert true <= got
     assert (vals[0], vals[0][:-1] + "X") in got
+
+
+def test_qgram_hot_gram_stays_linear(spark):
+    import random
+
+    rng = random.Random(41)
+    n = 300
+    vals = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(10))
+        + "commonhotsuffix"
+        for _ in range(n)
+    ]
+    vals += [vals[0][:-1] + "X", vals[1][:-1] + "X"]
+    ldf, rdf = kdf(spark, vals, "__fz_l0"), kdf(spark, vals, "__fz_r0")
+    cand = blocking.ngram_candidates(ldf, rdf, "__fz_l0", "__fz_r0", "qgram", 2, 2)
+    n_cand = cand.count()
+    assert n_cand < 0.1 * len(vals) ** 2  # share-any-gram gave ~n^2
+    got = {tuple(r) for r in cand.collect()}
+    true = {
+        (a, b)
+        for a in vals
+        for b in vals
+        if D.score_batch("qgram", [a], [b], max_distance=2, q=2)[0] <= 2
+    }
+    assert true <= got
+    assert (vals[0], vals[0][:-1] + "X") in got
