@@ -55,6 +55,22 @@ def key_id(col):
 #: words by hash so each word stays sparse (~n/8 grams -> low AND noise)
 NSIG = 8
 
+#: q-grams destroyed per edit, per method (transpositions destroy q+1) —
+#: drives the edit-family short-key block's losslessness cutoff
+_EDIT_DAMAGE = {
+    "lv": lambda q: q,
+    "levenshtein": lambda q: q,
+    "lcs": lambda q: q,
+    "hamming": lambda q: q,
+    "osa": lambda q: q + 1,
+    "dl": lambda q: q + 1,
+    "damerau_levenshtein": lambda q: q + 1,
+}
+
+#: methods er_pipeline's blocking is RECALL-SOUND for (gram index + the
+#: complementary blocks); anything else would run with silent recall holes
+SUPPORTED_METHODS = frozenset({"jaccard"} | set(_EDIT_DAMAGE))
+
 
 def _bloom_sig_cols(gs_col) -> list:
     """s0..s7 Column list: 512-bit gram Bloom signature over a distinct-gram
@@ -105,6 +121,11 @@ def er_pipeline(
     collect_metrics=False skips the per-partition row-count job each stage
     runs after its write (lineage manifests keep observed metrics) — the
     right setting at full scale where that extra scan is measurable."""
+    if method not in SUPPORTED_METHODS:
+        raise ValueError(
+            f"er_pipeline blocking is not recall-sound for method {method!r}; "
+            f"supported: {sorted(SUPPORTED_METHODS)}"
+        )
     params = {
         "method": method,
         "max_distance": max_distance,
@@ -301,6 +322,31 @@ def er_pipeline(
             )
             sp = (
                 sl.join(sl.select(F.col("kid").alias("kid2"), "__zb"), "__zb")
+                .where(F.col("kid") < F.col("kid2"))
+                .select("kid", "kid2")
+            )
+            extra = sp if extra is None else extra.unionByName(sp)
+
+        if method in _EDIT_DAMAGE:
+            # edit-family short-key block: the share-a-gram index is lossless
+            # only for keys of length >= q + damage*tau (a tau-edit pair then
+            # MUST share a gram, Gravano et al. VLDB'01); shorter keys are
+            # paired by a length-band equi-join (|len diff| <= tau bounds any
+            # edit pair) — mirrors blocking.edit_candidates' short path.
+            # Negligible volume here: ER keys are documents, not names.
+            tau_i = int(max_distance)
+            short_cut = q + _EDIT_DAMAGE[method](q) * tau_i
+            sl = uniq.where(F.length("key") < short_cut).select(
+                "kid", F.length("key").alias("__len")
+            )
+            lo = F.col("__len") - (0 if method == "hamming" else tau_i)
+            hi = F.col("__len") + (0 if method == "hamming" else tau_i)
+            sp = (
+                sl.withColumn("__lb", F.explode(F.sequence(lo, hi)))
+                .join(
+                    sl.select(F.col("kid").alias("kid2"), F.col("__len").alias("__lb")),
+                    "__lb",
+                )
                 .where(F.col("kid") < F.col("kid2"))
                 .select("kid", "kid2")
             )

@@ -181,3 +181,26 @@ def test_pipeline_input_change_invalidates_resume(spark, tmp_path):
     docs2 = synth_documents(spark, 60, seed=2)
     out2 = er_pipeline(spark, docs2, checkpoint_dir=ckpt)
     assert out2["entities"].count() == docs2.count() != n1
+
+
+def test_pipeline_edit_method_short_keys(spark, tmp_path):
+    # edit-family methods: keys shorter than q + q*tau share NO gram yet can
+    # be within distance tau — the length-band short-key block must pair them
+    def doc(i, text):
+        return (f"d{i}", [{"kind": "text", "text": text, "media_ref": None, "offset": 0}])
+
+    docs = spark.createDataFrame(
+        [doc(0, "abcd"), doc(1, "abxd"), doc(2, "zzzzzzzzzzzz")],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = er_pipeline(
+        spark, docs, checkpoint_dir=str(tmp_path), method="lv", max_distance=1,
+        q=4, resume=False,
+    )
+    ent = {r["doc_id"]: r["entity_id"] for r in out["entities"].collect()}
+    assert ent["d0"] == ent["d1"] and ent["d2"] != ent["d0"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not recall-sound"):
+        er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "x"), method="jw")
