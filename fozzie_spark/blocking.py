@@ -233,9 +233,7 @@ def ngram_candidates(
             )
             .select(lkey, rkey)
         )
-        empty_l = lsets.filter(F.size("__fz_gs") == 0).select(lkey)
-        empty_r = rsets.filter(F.size("__fz_gs2") == 0).select(rkey)
-        return pairs.unionByName(empty_l.crossJoin(empty_r))
+        return pairs.unionByName(_empty_profile_pairs(lsets, rsets, lkey, rkey, q))
 
     lx = lsets.select(lkey, F.size("__fz_gs").alias("__fz_nl"), F.explode("__fz_gs").alias("__fz_g"))
     rx = rsets.select(rkey, F.size("__fz_gs2").alias("__fz_nr"), F.explode("__fz_gs2").alias("__fz_g"))
@@ -248,9 +246,7 @@ def ngram_candidates(
             - F.least("__fz_nl", "__fz_nr") / F.greatest("__fz_nl", "__fz_nr")
             <= max_distance
         )
-        empty_l = lsets.filter(F.size("__fz_gs") == 0).select(lkey)
-        empty_r = rsets.filter(F.size("__fz_gs2") == 0).select(rkey)
-        extra = empty_l.crossJoin(empty_r)
+        extra = _empty_profile_pairs(lsets, rsets, lkey, rkey, q)
         return pairs.select(lkey, rkey).unionByName(extra)
 
     if method == "qgram":
@@ -282,8 +278,27 @@ def ngram_candidates(
         )
         return sized.unionByName(small).distinct()
 
-    # cosine (tau < 1): shared-gram pairs only
+    # cosine (tau < 1): shared-gram pairs only. KNOWN SCALE CAVEAT: unlike
+    # jaccard/qgram/edit above, multiset-weighted cosine has no simple
+    # prefix theorem, so this join stays quadratic in a hot gram's document
+    # frequency (the weighted AllPairs prefix of Bayardo et al. WWW'07 is
+    # the upgrade path); the reference's index has the same shape.
     return pairs.select(lkey, rkey)
+
+
+def _empty_profile_pairs(lsets, rsets, lkey: str, rkey: str, q: int):
+    """All (l, r) pairs where BOTH gram profiles are empty (keys shorter
+    than q). The pair set is a true cross product — the OUTPUT is quadratic
+    in the empty-key count by definition (jaccard dist 0 for all of them) —
+    but joining on the data-derived floor(len/q) (identically 0) lets
+    Catalyst plan a hash join instead of a BroadcastNestedLoopJoin."""
+    el = lsets.filter(F.size("__fz_gs") == 0).select(
+        lkey, F.floor(F.length(lkey) / q).alias("__fz_zb")
+    )
+    er = rsets.filter(F.size("__fz_gs2") == 0).select(
+        rkey, F.floor(F.length(rkey) / q).alias("__fz_zb")
+    )
+    return el.join(er, "__fz_zb").select(lkey, rkey)
 
 
 def cross_candidates(lkeys: DataFrame, rkeys: DataFrame, lkey: str, rkey: str) -> DataFrame:
