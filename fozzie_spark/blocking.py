@@ -254,9 +254,18 @@ def ngram_candidates(
         lc = lkeys.select(lkey, F.size(qgrams_col(lkey, q)).alias("__fz_tl"))
         rc = rkeys.select(rkey, F.size(qgrams_col(rkey, q)).alias("__fz_tr"))
         tau = max_distance
+        # small-profile block: pairs whose profiles are small enough to match
+        # with NO shared gram (dist = t1 + t2 <= tau). Joined on the
+        # data-derived floor(t/(tau+1)) (identically 0 for them) so Catalyst
+        # plans a hash join, not a BNLJ; the pair volume is the true result.
+        zb = lambda c: F.floor(F.col(c) / F.lit(int(tau) + 1))  # noqa: E731
         small = (
             lc.filter(F.col("__fz_tl") <= tau)
-            .crossJoin(rc.filter(F.col("__fz_tr") <= tau))
+            .withColumn("__fz_zb", zb("__fz_tl"))
+            .join(
+                rc.filter(F.col("__fz_tr") <= tau).withColumn("__fz_zb", zb("__fz_tr")),
+                "__fz_zb",
+            )
             .filter(F.col("__fz_tl") + F.col("__fz_tr") <= tau)
             .select(lkey, rkey)
         )

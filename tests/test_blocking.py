@@ -202,3 +202,32 @@ def test_qgram_hot_gram_stays_linear(spark):
     }
     assert true <= got
     assert (vals[0], vals[0][:-1] + "X") in got
+
+
+def test_plans_have_no_cross_joins(spark):
+    # permanent net for the plan audit: candidate generation must never
+    # plan a CartesianProduct / BroadcastNestedLoopJoin
+    import fozzie_spark as fz
+    from fozzie_spark import textops
+
+    names = spark.createDataFrame(
+        [(f"name {i} tok{i % 5}",) for i in range(60)], "name string"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"some text number {i} with shared words") for i in range(40)],
+        "id long, text string",
+    )
+    frames = {
+        "lv": fz.fuzzy_string_join(names, names, by="name", method="lv", max_distance=1),
+        "jaccard": fz.fuzzy_string_join(
+            names, names, by="name", method="jaccard", max_distance=0.4, q=2
+        ),
+        "qgram": fz.fuzzy_string_join(
+            names, names, by="name", method="qgram", max_distance=2, q=2
+        ),
+        "dedup": textops.jaccard_dedup_pairs(docs, "id", "text", 3, 0.5),
+    }
+    for tag, df in frames.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, tag
+        assert "BroadcastNestedLoopJoin" not in plan, tag
