@@ -33,7 +33,7 @@ def launch(cores: str, idx: int, n_entities: int) -> subprocess.Popen:
     local_dirs = tempfile.mkdtemp(prefix=f"fz_iso_local_{idx}_")
     env = dict(
         os.environ,
-        SPARK_DRIVER_MEMORY="24g",
+        SPARK_DRIVER_MEMORY=os.environ.get("FZ_ISO_MEM", "24g"),
         SPARK_LOCAL_DIRS=local_dirs,
     )
     return subprocess.Popen(
