@@ -398,6 +398,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", "fingerprint"
     )
 
+    # winnowing uses hash_fn="md5" here so DuckDB can recompute the same
+    # fingerprints; production default is xxhash64 (faster, JVM-side)
+    q["winnow_fps"] = lambda s, d: textops.winnow_fingerprints(
+        _docs(s, d), "doc_id", "text", k=5, window=4, hash_fn="md5"
+    ).select(F.col("id").alias("doc_id"), "fp")
+
+    q["winnow_overlap"] = lambda s, d: textops.winnow_overlap_pairs(
+        _docs(s, d), "doc_id", "text", k=5, window=4, min_shared=2,
+        hash_fn="md5", max_fp_df=None,
+    ).select("id1", "id2", F.col("shared_fps").cast("bigint").alias("shared_fps"))
+
     def _sessionize(s, d):
         from fozzie_spark.streaming import sessionize
 
@@ -986,6 +997,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT n AS node, least(n, min(r.b)) AS component
         FROM nodes LEFT JOIN reach r ON r.a = n
         GROUP BY n
+    """
+    _WINNOW = r"""
+        WITH t AS (
+          SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 CASE WHEN length(s) >= 5
+                      THEN list_transform(range(1, length(s) - 5 + 2),
+                                          i -> md5(substr(s, i, 5)))
+                      ELSE [] END AS hs
+          FROM t
+        ),
+        f AS (
+          SELECT doc_id,
+                 CASE WHEN len(hs) >= 4
+                      THEN list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                                                        i -> list_min(hs[i:i+3])))
+                      WHEN len(hs) > 0 THEN [list_min(hs)]
+                      ELSE [] END AS fps
+          FROM h
+        )
+    """
+    o["winnow_fps"] = _WINNOW + "SELECT doc_id, unnest(fps) AS fp FROM f"
+    o["winnow_overlap"] = _WINNOW + """
+        , e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
     """
     o["sessionize"] = """
         WITH m AS (

@@ -477,3 +477,88 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
     text (cross-engine reproducible — DuckDB md5 matches)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return df.withColumn(out_col, F.md5(norm))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, fp) winnowing fingerprints (Schleimer et al., SIGMOD'03): hash
+    every char k-gram of the normalized text, keep the MINIMUM hash of each
+    sliding window of `window` consecutive k-gram hashes, distinct per doc.
+    The standard partial-overlap / decontamination primitive: any shared
+    substring of length >= k + window - 1 guarantees >= 1 shared
+    fingerprint, while only ~2/(window+1) of positions are kept.
+
+    Documents with fewer than `window` k-grams contribute their single
+    minimum hash; empty/short-of-k docs contribute nothing. All
+    single-pass JVM expressions — no shuffle, no Python.
+
+    hash_fn "xxhash64" (fast, default) or "md5" (cross-engine — the DuckDB
+    oracle can recompute it).
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    d2 = df.select(F.col(id_col).alias("id"), norm.alias("__s"))
+    grams = F.when(
+        F.length("__s") >= k,
+        F.expr(f"transform(sequence(1, length(__s) - {k} + 1), i -> substring(__s, i, {k}))"),
+    ).otherwise(F.array().cast("array<string>"))
+    if hash_fn == "xxhash64":
+        hs, empty_t = F.transform(grams, lambda g: F.xxhash64(g)), "array<bigint>"
+    elif hash_fn == "md5":
+        hs, empty_t = F.transform(grams, lambda g: F.md5(g)), "array<string>"
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    d2 = d2.select("id", hs.alias("__h"))
+    n = F.size("__h")
+    fps = (
+        F.when(
+            n >= window,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n - window),
+                    lambda i: F.array_min(F.slice("__h", i + 1, window)),
+                )
+            ),
+        )
+        .when(n > 0, F.array(F.array_min("__h")))
+        .otherwise(F.array().cast(empty_t))
+    )
+    return d2.select("id", F.explode(fps).alias("fp"))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    hash_fn: str = "xxhash64",
+    max_fp_df: int | None = 10_000,
+) -> DataFrame:
+    """(id1 < id2, shared_fps): document pairs sharing >= `min_shared`
+    winnowing fingerprints — substring-level overlap detection (test-set
+    decontamination, boilerplate-tolerant near-dup).
+
+    Inverted-index equi-join on fingerprints. `max_fp_df` drops
+    fingerprints present in more than that many docs (site boilerplate is
+    the classic hot case and carries no overlap signal); None keeps all —
+    exact but quadratic in the hottest fingerprint's document frequency.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window, hash_fn)
+    if max_fp_df:
+        fp_df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        fps = fps.join(fp_df.where(F.col("df") <= max_fp_df), "fp")
+    right = fps.select(F.col("id").alias("id2"), "fp")
+    return (
+        fps.join(right, "fp")
+        .where(F.col("id") < F.col("id2"))
+        .groupBy(F.col("id").alias("id1"), "id2")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

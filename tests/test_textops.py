@@ -324,3 +324,65 @@ def test_media_plumbing(spark):
 
     plan = media.frame_sample_plan(feats, every_n=30)
     assert plan.where(F.col("frame_idx") % 30 != 0).count() == 0
+
+
+def ref_winnow(text, k=5, window=4):
+    import hashlib
+    import re
+
+    s = re.sub(r"\s+", " ", text.strip()).lower()
+    grams = [s[i : i + k] for i in range(len(s) - k + 1)] if len(s) >= k else []
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    if len(hs) >= window:
+        return {min(hs[i : i + window]) for i in range(len(hs) - window + 1)}
+    return {min(hs)} if hs else set()
+
+
+def test_winnow_fingerprints(spark, docs):
+    got = {}
+    rows = textops.winnow_fingerprints(docs, "id", "text", 5, 4, hash_fn="md5").collect()
+    for r in rows:
+        got.setdefault(r["id"], set()).add(r["fp"])
+    for i, text in DOCS:
+        exp = ref_winnow(text)
+        assert got.get(i, set()) == exp, i
+    # guarantee: any shared substring of length >= k + window - 1 shares a fp
+    assert got[0] & got[1]  # docs 0/1 share a long prefix
+    # xxhash64 variant: same CARDINALITY structure, no crash
+    n64 = textops.winnow_fingerprints(docs, "id", "text", 5, 4).count()
+    assert n64 == sum(len(v) for v in got.values())
+
+
+def test_winnow_overlap_pairs(spark, docs):
+    pairs = {
+        (r["id1"], r["id2"]): r["shared_fps"]
+        for r in textops.winnow_overlap_pairs(
+            docs, "id", "text", 5, 4, min_shared=2, max_fp_df=None
+        ).collect()
+    }
+    fps = {i: ref_winnow(t) for i, t in DOCS}
+    import itertools
+
+    exp = {}
+    for i, j in itertools.combinations(sorted(fps), 2):
+        # xxhash64 vs md5 give different VALUES but identical positional
+        # minima pattern only per-hash; compare against md5-based run
+        pass
+    got_md5 = {
+        (r["id1"], r["id2"]): r["shared_fps"]
+        for r in textops.winnow_overlap_pairs(
+            docs, "id", "text", 5, 4, min_shared=2, hash_fn="md5", max_fp_df=None
+        ).collect()
+    }
+    for i, j in itertools.combinations(sorted(fps), 2):
+        shared = len(fps[i] & fps[j])
+        if shared >= 2:
+            assert got_md5[(i, j)] == shared, (i, j)
+        else:
+            assert (i, j) not in got_md5
+    assert (0, 1) in got_md5 and (0, 2) in got_md5  # near/exact dup pairs
+    # the hot-fp valve drops universally shared fingerprints
+    capped = textops.winnow_overlap_pairs(
+        docs, "id", "text", 5, 4, min_shared=1, max_fp_df=1
+    ).count()
+    assert capped == 0
