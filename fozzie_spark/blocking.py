@@ -23,6 +23,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: auto prefix-filter gate (see `use_prefix_filter`): inputs whose combined
+#: distinct-key count is below this use the round-2 share-any-gram join —
+#: the prefix machinery's fixed-cost stages (global gram-df aggregation,
+#: per-key sort, second profile join) don't amortize on small inputs, and
+#: the post-filter candidate set is IDENTICAL either way.
+PREFIX_AUTO_KEY_THRESHOLD = 50_000
+#: inputs whose optimizer plan stats exceed this many bytes skip the count
+#: job entirely and go straight to the prefix path (stats unknown => large)
+PREFIX_AUTO_BYTES_THRESHOLD = 512 << 20
+
+
+_UNKNOWN_SIZE = (1 << 63) - 1  # Spark's sizeInBytes sentinel for "no idea"
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    try:
+        sz = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        return None if sz >= _UNKNOWN_SIZE else sz
+    except Exception:
+        return None
+
+
+def use_prefix_filter(lkeys: DataFrame, rkeys: DataFrame) -> bool:
+    """Resolve prefix_mode='auto': True => run the Ed-Join/PPJoin prefix
+    machinery, False => the share-any-gram join is already cheap enough.
+
+    Decision costs nothing at scale: optimizer plan stats (propagated from
+    the parquet scan sizes) short-circuit known-large inputs to the prefix
+    path WITHOUT running a job; small-by-stats plans pay two cheap count
+    jobs, and unknown-stats plans (e.g. LogicalRDD from createDataFrame —
+    driver-resident, so counting is trivial) also resolve by counting.
+    """
+    sizes = [_plan_size_bytes(df) for df in (lkeys, rkeys)]
+    if any(sz is not None and sz > PREFIX_AUTO_BYTES_THRESHOLD for sz in sizes):
+        return True
+    return lkeys.count() + rkeys.count() >= PREFIX_AUTO_KEY_THRESHOLD
+
 
 def qgrams_col(col: str, q: int):
     """Array of character q-grams; strings shorter than q => empty array.
@@ -99,6 +136,7 @@ def edit_candidates(
     method: str = "levenshtein",
     q: int = 2,
     gram_filter: bool = True,
+    prefix_mode: str = "auto",
 ) -> DataFrame:
     """Candidates for edit-distance methods (lv/osa/dl/lcs/hamming).
 
@@ -110,8 +148,19 @@ def edit_candidates(
       most q q-grams, so a pair within lv distance tau shares
       >= max(|a|,|b|) - q + 1 - q*tau q-grams (Gravano et al., VLDB'01).
       A TRANSPOSITION destroys up to q+1 grams ("Liam"/"Laim" share zero
-      2-grams), so OSA/DL use damage (q+1) per edit. Inverted-index join
-      on grams + SUM(min(count)) threshold.
+      2-grams), so OSA/DL use damage (q+1) per edit.
+
+    The long path has two result-identical physical strategies, chosen by
+    `prefix_mode` ('auto' routes by input size, see `use_prefix_filter`):
+    - 'simple': share-any-gram inverted-index join + SUM(min(count))
+      threshold — two shuffles, the fastest plan when the input is small.
+    - 'prefix': Ed-Join prefix filtering (Xiao et al. VLDB'08) — a pair
+      within edit distance tau keeps all but <= damage*tau of either side's
+      distinct grams, so their rarity-ordered prefixes of length
+      damage*tau + 1 must intersect; hot grams (power-law!) sort last and
+      stay out of prefixes, so the candidate equi-join stays sub-quadratic
+      under hot grams. The multiset count bound is then verified per
+      candidate over precomputed count maps.
 
     Returns distinct (lkey, rkey) pairs.
     """
@@ -139,15 +188,31 @@ def edit_candidates(
     rs = r.filter(F.col("__fz_rl") < short_cut)
     short_pairs = ls.join(rs, F.col("__fz_bl") == F.col("__fz_rl")).select(lkey, rkey)
 
-    # long path: PREFIX-FILTERED gram index (Ed-Join, Xiao et al. VLDB'08).
-    # A pair within edit distance tau keeps all but <= damage*tau of either
-    # side's distinct grams, so their rarity-ordered prefixes of length
-    # damage*tau + 1 must intersect — lossless, and hot grams (power-law!)
-    # stay out of prefixes, so the candidate equi-join is no longer
-    # quadratic in the hottest gram's document frequency. The multiset
-    # count bound is then verified per candidate over precomputed count
-    # maps — the post-filter candidate set is IDENTICAL to the old
-    # share-any-gram + SUM(min(count)) design.
+    if prefix_mode == "auto":
+        prefix_mode = "prefix" if use_prefix_filter(lkeys, rkeys) else "simple"
+
+    if prefix_mode == "simple":
+        # share-any-gram inverted index + SUM(min(count)) threshold
+        lg = _gram_counts(lkeys, lkey, q).withColumnRenamed("__fz_c", "__fz_cl")
+        rg = _gram_counts(rkeys, rkey, q).withColumnRenamed("__fz_c", "__fz_cr")
+        shared = (
+            lg.join(rg, "__fz_g")
+            .groupBy(lkey, rkey)
+            .agg(F.sum(F.least("__fz_cl", "__fz_cr")).alias("__fz_shared"))
+        )
+        long_pairs = (
+            shared.withColumn("__fz_ll", F.length(lkey))
+            .withColumn("__fz_rl", F.length(rkey))
+            .filter(F.greatest("__fz_ll", "__fz_rl") >= short_cut)
+            .filter(F.abs(F.col("__fz_ll") - F.col("__fz_rl")) <= tau)
+            .filter(
+                F.col("__fz_shared")
+                >= F.greatest("__fz_ll", "__fz_rl") - q + 1 - damage * tau
+            )
+            .select(lkey, rkey)
+        )
+        return short_pairs.unionByName(long_pairs)
+
     lp, rp = _rarity_prefix_tokens(
         lkeys, rkeys, lkey, rkey, q, lambda n: F.least(n, F.lit(damage * tau + 1))
     )
@@ -189,6 +254,7 @@ def ngram_candidates(
     method: str,
     max_distance: float,
     q: int,
+    prefix_mode: str = "auto",
 ) -> DataFrame:
     """Candidates for qgram/cosine/jaccard profile distances.
 
@@ -201,14 +267,23 @@ def ngram_candidates(
       then EVERY pair matches, so candidates degenerate to the cross join.
     - qgram: pairs with no shared gram have dist n1+n2; include the
       small-profile cross block (n1 + n2 <= tau).
+
+    `prefix_mode` ('auto' | 'prefix' | 'simple') picks between the
+    hot-gram-proof prefix-filtered plans (PPJoin for jaccard/qgram, weighted
+    AllPairs for cosine) and the round-2 share-any-gram join; the candidate
+    sets differ but the post-verification MATCHES are identical, and 'auto'
+    routes small inputs to the cheaper simple plan (`use_prefix_filter`).
     """
     if method == "cosine" and max_distance >= 1.0:
         return lkeys.select(lkey).crossJoin(rkeys.select(rkey))
 
+    if prefix_mode == "auto":
+        prefix_mode = "prefix" if use_prefix_filter(lkeys, rkeys) else "simple"
+
     lsets = lkeys.select(lkey, F.array_distinct(qgrams_col(lkey, q)).alias("__fz_gs"))
     rsets = rkeys.select(rkey, F.array_distinct(qgrams_col(rkey, q)).alias("__fz_gs2"))
 
-    if method == "jaccard" and max_distance < 1.0:
+    if method == "jaccard" and max_distance < 1.0 and prefix_mode == "prefix":
         # PREFIX-FILTERED index (PPJoin): jaccard_sim >= t = 1 - tau forces
         # the rarity-ordered prefixes (first n - ceil(t*n) + 1 grams) to
         # intersect — lossless for t > 0 and hot-gram-proof, unlike the
@@ -240,7 +315,8 @@ def ngram_candidates(
     pairs = lx.join(rx, "__fz_g").select(lkey, rkey, "__fz_nl", "__fz_nr").distinct()
 
     if method == "jaccard":
-        # tau >= 1: every pair with a shared gram matches; size bound vacuous
+        # reached at tau >= 1 (every shared-gram pair matches; size bound
+        # vacuous) or in 'simple' mode (small input: share-any-gram join)
         pairs = pairs.filter(
             F.lit(1.0)
             - F.least("__fz_nl", "__fz_nr") / F.greatest("__fz_nl", "__fz_nr")
@@ -269,15 +345,19 @@ def ngram_candidates(
             .filter(F.col("__fz_tl") + F.col("__fz_tr") <= tau)
             .select(lkey, rkey)
         )
-        # PREFIX-FILTERED index: each distinct gram missing from the other
-        # side contributes >= 1 to the qgram distance, so dist <= tau bounds
-        # either side's distinct-set difference by tau — rarity-ordered
-        # prefixes of length tau + 1 must intersect (lossless; pairs with NO
-        # shared gram have dist T1 + T2, covered by the `small` block).
-        lp, rp = _rarity_prefix_tokens(
-            lkeys, rkeys, lkey, rkey, q, lambda n: F.least(n, F.lit(int(tau) + 1))
-        )
-        cand = lp.join(rp, "__fz_g").select(lkey, rkey).distinct()
+        if prefix_mode == "simple":
+            cand = pairs.select(lkey, rkey)
+        else:
+            # PREFIX-FILTERED index: each distinct gram missing from the
+            # other side contributes >= 1 to the qgram distance, so dist <=
+            # tau bounds either side's distinct-set difference by tau —
+            # rarity-ordered prefixes of length tau + 1 must intersect
+            # (lossless; pairs with NO shared gram have dist T1 + T2,
+            # covered by the `small` block).
+            lp, rp = _rarity_prefix_tokens(
+                lkeys, rkeys, lkey, rkey, q, lambda n: F.least(n, F.lit(int(tau) + 1))
+            )
+            cand = lp.join(rp, "__fz_g").select(lkey, rkey).distinct()
         # prune: qgram dist >= |t1 - t2|
         sized = (
             cand.join(lc, lkey)
@@ -287,12 +367,126 @@ def ngram_candidates(
         )
         return sized.unionByName(small).distinct()
 
-    # cosine (tau < 1): shared-gram pairs only. KNOWN SCALE CAVEAT: unlike
-    # jaccard/qgram/edit above, multiset-weighted cosine has no simple
-    # prefix theorem, so this join stays quadratic in a hot gram's document
-    # frequency (the weighted AllPairs prefix of Bayardo et al. WWW'07 is
-    # the upgrade path); the reference's index has the same shape.
-    return pairs.select(lkey, rkey)
+    # cosine (tau < 1)
+    if prefix_mode == "simple":
+        # small input: shared-gram pairs (the reference's index shape,
+        # jaccard.rs:118-177 applied to cosine)
+        return pairs.select(lkey, rkey)
+    return _cosine_prefix_candidates(lkeys, rkeys, lkey, rkey, max_distance, q)
+
+
+def _cosine_prefix_candidates(
+    lkeys: DataFrame,
+    rkeys: DataFrame,
+    lkey: str,
+    rkey: str,
+    max_distance: float,
+    q: int,
+) -> DataFrame:
+    """Weighted AllPairs prefix filtering for multiset-cosine blocking
+    (Bayardo, Ma & Srikant, WWW'07), asymmetric index formulation.
+
+    Let x̂ = x/||x||₂ be a key's L2-normalized gram-count vector and
+    mw(g) = max over LEFT keys of x̂_g. For each RIGHT key ŷ, partition its
+    LEFT-PRESENT grams into UNINDEXED ∪ INDEXED such that
+
+        Σ_{g ∈ U} mw(g) · ŷ_g < t   OR   ||ŷ_U||₂ < t      (t = 1 - tau).
+
+    Either bound makes unindexing U lossless: if a pair (x, y) shares no
+    INDEXED gram, its similarity is Σ_{g ∈ U} x̂_g ŷ_g, which is at most
+    the max-weight sum (x̂_g <= mw(g)) and at most ||x̂||·||ŷ_U|| = ||ŷ_U||
+    (Cauchy-Schwarz restricted to U) — both < t, so every true match must
+    hit the index. Grams absent from the left side contribute nothing to
+    any pair and are dropped outright (free unindexing). Joining ALL left
+    tokens against only the right INDEXED tokens is therefore a lossless
+    candidate superset. Gram choice for U is a knapsack (value = join cost
+    avoided ≈ left df): greedy by cost ratio b/(df+1) ascending, which
+    unindexes hot grams early — THE property that removes the last
+    quadratic blocking path under power-law gram frequencies.
+
+    Keys whose total bound stays under t can match nothing and index
+    nothing. Empty profiles (len < q) have cosine dist 1.0, unreachable at
+    tau < 1 (handled by the caller's cross-join branch at tau >= 1).
+    """
+    t_eff = (1.0 - float(max_distance)) - 1e-9
+    t_sq = t_eff * t_eff
+
+    def _norm_tokens(keys: DataFrame, key: str) -> DataFrame:
+        """(key, gram, w) with w = multiset count / L2 norm, pure JVM."""
+        cm = _count_map_col(key, q)
+        nrm = F.sqrt(
+            F.aggregate(
+                F.map_values(cm).cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, c: acc + c * c,
+            )
+        )
+        return (
+            keys.select(key, cm.alias("__fz_cm"), nrm.alias("__fz_nrm"))
+            .select(key, F.explode("__fz_cm").alias("__fz_g", "__fz_c"), "__fz_nrm")
+            .select(key, "__fz_g", (F.col("__fz_c") / F.col("__fz_nrm")).alias("__fz_w"))
+        )
+
+    ltok = _norm_tokens(lkeys, lkey)
+    rtok = _norm_tokens(rkeys, rkey)
+    # per-gram stats over the LEFT side (the probing side): max normalized
+    # weight bounds any x̂_g; df drives the greedy unindex order
+    stats = ltok.groupBy("__fz_g").agg(
+        F.max("__fz_w").alias("__fz_mw"), F.count(F.lit(1)).alias("__fz_df")
+    )
+    # inner join: left-absent grams can't contribute to any pair — dropped
+    # from the index AND from the unindex budgets for free
+    rj = rtok.join(stats, "__fz_g").select(
+        rkey,
+        "__fz_g",
+        (F.col("__fz_w") * F.col("__fz_mw")).alias("__fz_b"),
+        (F.col("__fz_w") * F.col("__fz_w")).alias("__fz_sq"),
+        "__fz_df",
+    )
+    # sort by greedy cost ratio (cheap-to-unindex first), build the running
+    # bounds, index the suffix past the last position where EITHER bound
+    # still admits the whole head as unindexed
+    agg = rj.groupBy(rkey).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (F.col("__fz_b") / (F.col("__fz_df") + 1)).alias("r"),
+                    F.col("__fz_b").alias("b"),
+                    F.col("__fz_sq").alias("sq"),
+                    F.col("__fz_g").alias("g"),
+                )
+            )
+        ).alias("__fz_s")
+    )
+
+    def _cums(field):
+        return F.aggregate(
+            F.col("__fz_s"),
+            F.array().cast("array<double>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + x[field]),
+            ),
+        )
+
+    heads_ok = F.zip_with(
+        _cums("b"),
+        _cums("sq"),
+        lambda cb, cq: (cb < F.lit(t_eff)) | (cq < F.lit(t_sq)),
+    )
+    p = F.size(F.filter(heads_ok, lambda v: v))
+    indexed = agg.select(
+        rkey,
+        F.explode(F.slice("__fz_s", p + 1, F.greatest(F.size("__fz_s") - p, F.lit(0)))).alias(
+            "__fz_e"
+        ),
+    ).select(rkey, F.col("__fz_e.g").alias("__fz_g"))
+    return (
+        ltok.select(lkey, "__fz_g")
+        .join(indexed, "__fz_g")
+        .select(lkey, rkey)
+        .distinct()
+    )
 
 
 def _empty_profile_pairs(lsets, rsets, lkey: str, rkey: str, q: int):

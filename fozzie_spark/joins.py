@@ -108,6 +108,7 @@ def fuzzy_string_join(
     suffixes: tuple[str, str] = (".x", ".y"),
     gram_filter: bool = True,
     scoring_partitions: int | None = None,
+    prefix_mode: str = "auto",
 ) -> DataFrame:
     """Fuzzy string join — Spark equivalent of fozzie_string_join
     (R/fozzie_string_join.R:59-77). Defaults mirror the reference
@@ -120,6 +121,13 @@ def fuzzy_string_join(
     `scoring_partitions`: salted round-robin repartition of the candidate
     pairs before the Arrow scorer — use when blocking keys are skewed so
     one hot block would pin the scoring stage to a few tasks.
+
+    `prefix_mode` ('auto' | 'prefix' | 'simple'): physical strategy for the
+    gram-index blocking stage. 'prefix' runs the hot-gram-proof
+    Ed-Join/PPJoin/AllPairs prefix filters (the 100-TB plan); 'simple' runs
+    the two-shuffle share-any-gram join (fastest on small inputs); 'auto'
+    routes by input size (blocking.use_prefix_filter). Match results are
+    identical in every mode.
     """
     if method not in METHODS:
         raise ValueError(f"unknown method {method!r}")
@@ -139,10 +147,13 @@ def fuzzy_string_join(
 
     if method in EDIT_METHODS:
         cand = blocking.edit_candidates(
-            l0, r0, "__fz_l0", "__fz_r0", max_distance, method=method, q=q, gram_filter=gram_filter
+            l0, r0, "__fz_l0", "__fz_r0", max_distance, method=method, q=q,
+            gram_filter=gram_filter, prefix_mode=prefix_mode,
         )
     elif method in NGRAM_METHODS:
-        cand = blocking.ngram_candidates(l0, r0, "__fz_l0", "__fz_r0", method, max_distance, q)
+        cand = blocking.ngram_candidates(
+            l0, r0, "__fz_l0", "__fz_r0", method, max_distance, q, prefix_mode=prefix_mode
+        )
     elif method == "soundex":
         cand = _soundex_candidates(l0, r0)
     else:  # jaro / jw: prefix-filtered char-token index (cross join only

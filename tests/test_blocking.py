@@ -16,10 +16,10 @@ def test_edit_candidates_superset(spark):
     lvals = ["Liam", "Noah", "Oliver", "Theodore", "James", "Olivia", "Emma", "Amelia"]
     rvals = ["Laim", "No, ahhh", "Olive", "Jams", "A-A-ron", "Oliv HEE-YAH", "Emma", "Smelia", "x"]
     for method in ("levenshtein", "osa", "damerau_levenshtein", "lcs", "hamming"):
-        for tau in (1, 2):
+        for tau, mode in ((1, "simple"), (1, "prefix"), (2, "auto")):
             cand = blocking.edit_candidates(
                 kdf(spark, lvals, "__fz_l0"), kdf(spark, rvals, "__fz_r0"),
-                "__fz_l0", "__fz_r0", tau, method=method,
+                "__fz_l0", "__fz_r0", tau, method=method, prefix_mode=mode,
             )
             got = {tuple(r) for r in cand.collect()}
             true = {
@@ -29,25 +29,59 @@ def test_edit_candidates_superset(spark):
                 if D.score_batch(method, [a], [b], max_distance=tau)[0] <= tau
             }
             missing = true - got
-            assert not missing, (method, tau, missing)
+            assert not missing, (method, tau, mode, missing)
 
 
 def test_ngram_candidates_superset(spark):
     lvals = ["Liam", "Olivia", "Emma", "ab", "x", ""]
     rvals = ["Laim", "Olive", "Emma", "xy", "", "Smelia"]
-    for method, tau in (("jaccard", 0.9), ("qgram", 2), ("cosine", 0.6)):
-        cand = blocking.ngram_candidates(
-            kdf(spark, lvals, "__fz_l0"), kdf(spark, rvals, "__fz_r0"),
-            "__fz_l0", "__fz_r0", method, tau, q=2,
-        )
-        got = {tuple(r) for r in cand.collect()}
-        true = {
-            (a, b)
-            for a in lvals
-            for b in rvals
-            if D.score_batch(method, [a], [b], max_distance=tau, q=2)[0] <= tau
-        }
-        assert true <= got, (method, true - got)
+    for mode in ("simple", "prefix"):
+        for method, tau in (("jaccard", 0.9), ("jaccard", 0.4), ("qgram", 2), ("cosine", 0.6)):
+            cand = blocking.ngram_candidates(
+                kdf(spark, lvals, "__fz_l0"), kdf(spark, rvals, "__fz_r0"),
+                "__fz_l0", "__fz_r0", method, tau, q=2, prefix_mode=mode,
+            )
+            got = {tuple(r) for r in cand.collect()}
+            true = {
+                (a, b)
+                for a in lvals
+                for b in rvals
+                if D.score_batch(method, [a], [b], max_distance=tau, q=2)[0] <= tau
+            }
+            assert true <= got, (method, mode, true - got)
+
+
+def test_prefix_auto_gate(spark, monkeypatch):
+    small = kdf(spark, ["ab", "cd", "ef"], "__fz_l0")
+    # 3 + 3 keys, tiny local plan -> simple path
+    assert blocking.use_prefix_filter(small, small) is False
+    # shrink the key threshold below the input -> prefix path
+    monkeypatch.setattr(blocking, "PREFIX_AUTO_KEY_THRESHOLD", 4)
+    assert blocking.use_prefix_filter(small, small) is True
+    monkeypatch.setattr(blocking, "PREFIX_AUTO_KEY_THRESHOLD", 50_000)
+    # known-large-by-plan-stats inputs route to prefix WITHOUT a count job
+    # (plan stats propagate from parquet scan sizes; local frames report the
+    # unknown sentinel and resolve by counting instead)
+    pq = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select("p_name")
+    assert blocking._plan_size_bytes(pq) is not None
+    monkeypatch.setattr(blocking, "PREFIX_AUTO_BYTES_THRESHOLD", 0)
+    assert blocking.use_prefix_filter(pq, pq) is True
+
+
+def test_string_join_modes_agree(spark):
+    import fozzie_spark as fz
+
+    vals = ["Liam", "Laim", "Olivia", "Olive", "Emma", "Emmma", "ab", "x", "", "Smelia"]
+    df = kdf(spark, vals, "name")
+    for method, tau in (("lv", 1), ("osa", 1), ("jaccard", 0.4), ("qgram", 2), ("cosine", 0.5)):
+        outs = []
+        for mode in ("simple", "prefix"):
+            out = fz.fuzzy_string_join(
+                df, df, by="name", method=method, max_distance=tau,
+                distance_col="d", prefix_mode=mode,
+            )
+            outs.append({tuple(r) for r in out.collect()})
+        assert outs[0] == outs[1], (method, tau)
 
 
 def test_band_candidates_superset(spark):
@@ -134,7 +168,9 @@ def test_edit_candidates_hot_gram_stays_linear(spark):
     vals = [f"u{i:05d}z{i % 7}commonhotsuffix" for i in range(n)]
     vals += [vals[0][:-1] + "X", vals[1][:-1] + "X"]  # two implanted near-dups
     ldf, rdf = kdf(spark, vals, "__fz_l0"), kdf(spark, vals, "__fz_r0")
-    cand = blocking.edit_candidates(ldf, rdf, "__fz_l0", "__fz_r0", 1, method="levenshtein")
+    cand = blocking.edit_candidates(
+        ldf, rdf, "__fz_l0", "__fz_r0", 1, method="levenshtein", prefix_mode="prefix"
+    )
     n_cand = cand.count()
     assert n_cand < 20 * len(vals)  # share-any-gram would give ~n^2 = 91k
     got = {tuple(r) for r in cand.collect()}
@@ -162,7 +198,9 @@ def test_ngram_jaccard_hot_gram_stays_linear(spark):
     ]
     vals += [vals[0][:-1] + "X", vals[1][:-1] + "X"]
     ldf, rdf = kdf(spark, vals, "__fz_l0"), kdf(spark, vals, "__fz_r0")
-    cand = blocking.ngram_candidates(ldf, rdf, "__fz_l0", "__fz_r0", "jaccard", 0.3, 2)
+    cand = blocking.ngram_candidates(
+        ldf, rdf, "__fz_l0", "__fz_r0", "jaccard", 0.3, 2, prefix_mode="prefix"
+    )
     n_cand = cand.count()
     # rare random grams keep prefixes selective: ~8% of the n^2 = 91k pairs
     # the share-any-gram join produced (every pair shares the hot suffix)
@@ -178,6 +216,38 @@ def test_ngram_jaccard_hot_gram_stays_linear(spark):
     assert (vals[0], vals[0][:-1] + "X") in got
 
 
+def test_cosine_hot_gram_stays_linear(spark):
+    # the weighted AllPairs prefix (Bayardo WWW'07) must unindex the hot
+    # suffix grams: their total cosine contribution (~14/24 = 0.58) sits
+    # under the unindex budget t = 0.85, so the candidate join runs on the
+    # rare random grams only — share-any-gram gave all ~n^2 pairs
+    import random
+
+    rng = random.Random(7)
+    n = 300
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    vals = [
+        "".join(rng.choice(alpha) for _ in range(10)) + "commonhotsuffix"
+        for _ in range(n)
+    ]
+    vals += [vals[0][:-1] + "X", vals[1][:-1] + "X"]
+    ldf, rdf = kdf(spark, vals, "__fz_l0"), kdf(spark, vals, "__fz_r0")
+    cand = blocking.ngram_candidates(
+        ldf, rdf, "__fz_l0", "__fz_r0", "cosine", 0.15, 2, prefix_mode="prefix"
+    )
+    n_cand = cand.count()
+    assert n_cand < 0.1 * len(vals) ** 2  # share-any-gram gave ~n^2 = 91k
+    got = {tuple(r) for r in cand.collect()}
+    true = {
+        (a, b)
+        for a in vals
+        for b in vals
+        if D.score_batch("cosine", [a], [b], max_distance=0.15, q=2)[0] <= 0.15
+    }
+    assert true <= got  # lossless
+    assert (vals[0], vals[0][:-1] + "X") in got
+
+
 def test_qgram_hot_gram_stays_linear(spark):
     import random
 
@@ -190,7 +260,9 @@ def test_qgram_hot_gram_stays_linear(spark):
     ]
     vals += [vals[0][:-1] + "X", vals[1][:-1] + "X"]
     ldf, rdf = kdf(spark, vals, "__fz_l0"), kdf(spark, vals, "__fz_r0")
-    cand = blocking.ngram_candidates(ldf, rdf, "__fz_l0", "__fz_r0", "qgram", 2, 2)
+    cand = blocking.ngram_candidates(
+        ldf, rdf, "__fz_l0", "__fz_r0", "qgram", 2, 2, prefix_mode="prefix"
+    )
     n_cand = cand.count()
     assert n_cand < 0.1 * len(vals) ** 2  # share-any-gram gave ~n^2
     got = {tuple(r) for r in cand.collect()}
