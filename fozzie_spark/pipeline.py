@@ -107,7 +107,7 @@ def er_pipeline(
     method: str = "jaccard",
     max_distance: float = 0.6,
     q: int = 4,
-    max_gram_df: int | None = 10_000,
+    max_gram_df: int | None | str = "auto",
     salt_partitions: int | None = None,
     sn_window: int | None = 10,
     resume: bool = True,
@@ -117,6 +117,14 @@ def er_pipeline(
 ) -> dict[str, DataFrame]:
     """Run the pipeline; returns dict of stage DataFrames
     (keys, pairs, edges, clusters, entities).
+
+    max_gram_df="auto" resolves to max(10_000, n_distinct_keys // 8): a
+    gram is only degenerate boilerplate relative to corpus size — an
+    ABSOLUTE cap mis-scales in both directions (at 10^12 keys every common
+    gram would exceed a fixed 10k and recall would collapse onto the SN
+    patch; at 10^5 keys a barely-over-cap gram triggers the SN pass's
+    fixed cost for nothing). When the resolved cap never triggers, PPJoin
+    prefix filtering is lossless on its own and the SN pass is skipped.
 
     collect_metrics=False skips the per-partition row-count job each stage
     runs after its write (lineage manifests keep observed metrics) — the
@@ -201,6 +209,9 @@ def er_pipeline(
         `max_gram_df` remains as an (approximate) safety valve on top.
         """
         t = 1.0 - max_distance  # similarity threshold
+        cap = (
+            max(10_000, _n_uniq() // 8) if max_gram_df == "auto" else max_gram_df
+        )
         sig_cols = [f"s{i}" for i in range(NSIG)] if bloom else []
         # ---- signature fusion (jaccard): the 512-bit Bloom words ride ON
         # the exploded gram rows from the start (precomputed once on the
@@ -217,12 +228,8 @@ def er_pipeline(
         # the did-the-cap-trigger probe that gates the SN pass)
         gram_df_all = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).persist()
         _stage_persists.append(gram_df_all)
-        n_capped = (
-            gram_df_all.where(F.col("df") > max_gram_df).count() if max_gram_df else 0
-        )
-        gram_df = (
-            gram_df_all.where(F.col("df") <= max_gram_df) if max_gram_df else gram_df_all
-        )
+        n_capped = gram_df_all.where(F.col("df") > cap).count() if cap else 0
+        gram_df = gram_df_all.where(F.col("df") <= cap) if cap else gram_df_all
         # broadcast so the exploded gram rows don't shuffle for the df lookup
         grams = grams.join(F.broadcast(gram_df), "g")  # inner: drops capped grams
         positional = method == "jaccard" and t > 0
