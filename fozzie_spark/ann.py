@@ -100,6 +100,7 @@ def cosine_topk(
     seed: int = 13,
     dim: int | None = None,
     auto_threshold: int = 10_000,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """Top-k neighbors per query (query_id, neighbor_id, cosine, rank).
 
@@ -109,9 +110,13 @@ def cosine_topk(
     Catalyst broadcasts it and streams the corpus once; exact but O(q x n).
     strategy="lsh": candidates restricted to corpus vectors sharing >= 1
     signature band with the query (equi-join, IVF-style bucket probe), then
-    exact cosine + rank over candidates only — approximate (a query may
-    return fewer than k rows if its buckets are sparse); the corpus-scale
-    path when the probe set itself is large.
+    exact cosine + rank over candidates only — approximate; the
+    corpus-scale path when the probe set itself is large. With
+    `multiprobe` (default on), queries whose buckets yielded fewer than k
+    candidates take a second pass probing every band hash at Hamming
+    distance 1 (Lv et al., multi-probe LSH, VLDB'07) — the starved-query
+    re-probe removes the silent under-fill of sparse buckets while
+    well-filled queries never pay the extra join volume.
     strategy="auto" (default): counts the probe side (one eager job at
     plan-construction time) and routes to LSH above `auto_threshold`
     probes — a corpus-scale probe set would otherwise silently plan a
@@ -135,20 +140,45 @@ def cosine_topk(
         if dim is None:
             dim = len(corpus.select(vec_col).first()[0])
         qs = _banded(lsh_signatures(queries, id_col, vec_col, n_planes, seed, dim=dim),
-                     n_planes, bands)
-        cs = _banded(lsh_signatures(corpus, id_col, vec_col, n_planes, seed, dim=dim),
-                     n_planes, bands)
-        scored = (
-            qs.select(F.col("id").alias("query_id"), F.col("v").alias("qv"), "band", "bh")
-            .join(
-                cs.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
-                          "band", "bh"),
-                ["band", "bh"],
-            )
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", "qv", "cv")
-            .distinct()
+                     n_planes, bands).select(
+            F.col("id").alias("query_id"), F.col("v").alias("qv"), "band", "bh"
         )
+        cs = _banded(lsh_signatures(corpus, id_col, vec_col, n_planes, seed, dim=dim),
+                     n_planes, bands).select(
+            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "band", "bh"
+        )
+
+        def _probe(probes):
+            return (
+                probes.join(cs, ["band", "bh"])
+                .where(F.col("query_id") != F.col("neighbor_id"))
+                .select("query_id", "neighbor_id", "qv", "cv")
+                .distinct()
+            )
+
+        scored = _probe(qs)
+        if multiprobe:
+            # starved queries: < k distinct candidates from their exact
+            # buckets (including zero — queries absent from the band join).
+            # Only they re-probe, at every band hash one bit-flip away.
+            r = max(1, n_planes // bands)
+            have = scored.groupBy("query_id").agg(F.count(F.lit(1)).alias("__fz_cnt"))
+            starved = (
+                qs.select("query_id")
+                .distinct()
+                .join(have, "query_id", "left")
+                .where(F.coalesce("__fz_cnt", F.lit(0)) < k)
+                .select("query_id")
+            )
+            flips = qs.join(starved, "query_id").select(
+                "query_id",
+                "qv",
+                "band",
+                F.explode(
+                    F.array(*[F.col("bh").bitwiseXOR(F.lit(1 << i)) for i in range(r)])
+                ).alias("bh"),
+            )
+            scored = scored.unionByName(_probe(flips)).distinct()
     else:
         q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))

@@ -680,11 +680,21 @@ def sorted_neighborhood_candidates(
     Hernandez & Stolfo SIGMOD'95) that complements q-gram indexing — it
     catches pairs whose shared grams were all capped/hot.
 
-    Scalable global ranking WITHOUT a single-partition sort:
-    repartitionByRange on the sort key, rank within each partition, then
-    add per-partition offsets (a tiny driver-side cumulative sum). The
-    neighbor join is a band equi-join on floor(rank/window) +-1 probes —
-    no self cross join, no global window operator.
+    Scalable global ranking WITHOUT a single-partition sort: bucket each
+    key by DETERMINISTIC sort-range boundaries (sampled quantiles of the
+    sort key, collected once and baked into the plan as literals), rank
+    within each bucket, then add per-bucket offsets (a tiny cumulative
+    sum). The neighbor join is a band equi-join on floor(rank/window) +-1
+    probes — no self cross join, no global window operator.
+
+    Why literal boundaries instead of repartitionByRange +
+    spark_partition_id: the bucket id feeds TWO consumers (bucket counts
+    and ranked rows), and Spark compiles each into its own range exchange
+    whose RangePartitioner samples boundaries with an RDD-id-dependent
+    seed — at large inputs the two branches can see DIFFERENT partition
+    boundaries, silently corrupting the global ranks. A literal-boundary
+    bucket expression evaluates identically in every branch by
+    construction, with the same quantile-sampling quality.
 
     Returns (key_col, key_col+"2") pairs with rank distance in [1, window].
     """
@@ -692,14 +702,24 @@ def sorted_neighborhood_candidates(
 
     sort_col = sort_expr if sort_expr is not None else F.col(key_col)
     n_parts = num_partitions or max(keys.sparkSession.sparkContext.defaultParallelism, 2)
-    # both consumers (partition counts + ranked rows) sit downstream of the
-    # SAME range exchange, which Catalyst reuses within the action — no
-    # persist needed, no cache left behind
-    parts = (
-        keys.select(key_col, sort_col.alias("__fz_sort"))
-        .repartitionByRange(n_parts, "__fz_sort")
-        .withColumn("__fz_pid", F.spark_partition_id())
+    src = keys.select(key_col, sort_col.alias("__fz_sort"))
+    n = src.count()
+    frac = min(1.0, (n_parts * 20.0) / max(n, 1))
+    sampled = sorted(
+        r["__fz_sort"]
+        for r in src.select("__fz_sort").sample(frac, seed=7).collect()
+        if r["__fz_sort"] is not None
     )
+    # n_parts - 1 evenly spaced boundary values (deduped; fewer buckets for
+    # tiny/duplicate-heavy inputs is fine — one bucket = one sorted window)
+    step = max(1, len(sampled) // n_parts)
+    bounds = sorted({sampled[i] for i in range(step, len(sampled), step)})[: n_parts - 1]
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b < F.col("__fz_sort")))
+    else:
+        pid = F.lit(0)
+    parts = src.withColumn("__fz_pid", pid)
     # partition offsets as a lazy cumulative sum over the (tiny) partition
     # counts — broadcast-joined back; no driver-side collect
     counts = parts.groupBy("__fz_pid").agg(F.count(F.lit(1)).alias("__fz_n"))

@@ -92,7 +92,14 @@ def extract_media_features(
                 elif ref and ref.startswith("file://"):
                     try:
                         with open(ref[len("file://"):], "rb") as f:
-                            _kind, w, h, nf, feat = _decode_bytes(f.read(), feat_dim)
+                            dec_kind, w, h, nf, feat = _decode_bytes(f.read(), feat_dim)
+                        if dec_kind != kind:
+                            # declared "image" that decodes as WAV must not
+                            # ship audio fields under image column names
+                            raise ValueError(
+                                f"media_ref {ref!r} declared kind={kind!r} but "
+                                f"decoded as {dec_kind!r}"
+                            )
                     except Exception:
                         if on_error == "error":
                             raise

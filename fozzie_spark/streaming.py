@@ -85,8 +85,10 @@ def sessionize(
 
     gap_us = gap_seconds * 1_000_000
     max_us = max_session_seconds * 1_000_000 if max_session_seconds else None
+    key_type = df.schema[key_col].dataType.simpleString()  # not hardcoded long:
+    # string/decimal/etc. user keys keep their type through the group map
     out_schema = (
-        f"{key_col} long, session_start timestamp, session_end timestamp, "
+        f"{key_col} {key_type}, session_start timestamp, session_end timestamp, "
         "n_events long, total_value double"
     )
 
@@ -133,8 +135,9 @@ def streaming_sessionize(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_type = stream.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, session_start timestamp, session_end timestamp, "
+        f"{key_col} {key_type}, session_start timestamp, session_end timestamp, "
         "n_events long, total_value double"
     )
     state_schema = "start long, last long, n long, total double"

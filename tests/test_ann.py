@@ -94,6 +94,25 @@ def test_topk_auto_small_probe_stays_exact(emb):
     assert sorted(map(tuple, auto)) == sorted(map(tuple, exact))
 
 
+def test_topk_multiprobe_fills_sparse_buckets(emb):
+    # 16 planes / 2 bands => 256 hashes per band over a 500-vector corpus:
+    # single-probe leaves most queries with < k candidates and drops some
+    # entirely; the starved-query Hamming-1 re-probe must fill every query
+    # to exactly k, with a crossJoin-free plan
+    k, n = 10, emb.count()
+    single = ann.cosine_topk(emb, emb, "vec_id", "embedding", k=k, strategy="lsh",
+                             n_planes=16, bands=2, multiprobe=False)
+    s_counts = {r["query_id"]: r["count"] for r in single.groupBy("query_id").count().collect()}
+    assert len(s_counts) < n or min(s_counts.values()) < k  # starvation exists
+    multi = ann.cosine_topk(emb, emb, "vec_id", "embedding", k=k, strategy="lsh",
+                            n_planes=16, bands=2, multiprobe=True)
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    m_counts = {r["query_id"]: r["count"] for r in multi.groupBy("query_id").count().collect()}
+    assert len(m_counts) == n  # every query returns rows
+    assert min(m_counts.values()) == k  # no under-fill anywhere
+
+
 def test_lsh_topk_matches_exact_on_found(emb):
     probes = emb.where(F.col("vec_id") < 10)
     exact = {

@@ -276,6 +276,31 @@ def test_qgram_hot_gram_stays_linear(spark):
     assert (vals[0], vals[0][:-1] + "X") in got
 
 
+def test_sorted_neighborhood_large_multibucket_exact(spark):
+    # the bucket-counts branch and the ranked-rows branch must see the SAME
+    # bucket boundaries (the old repartitionByRange + spark_partition_id
+    # design could sample different range boundaries per branch at scale,
+    # silently corrupting ranks). With deterministic literal boundaries,
+    # a multi-bucket shuffled input must reproduce the neighbor set exactly.
+    import random
+
+    rng = random.Random(3)
+    keys = [f"k{i:05d}" for i in range(3000)]
+    shuffled = keys[:]
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame([(k,) for k in shuffled], "key string").repartition(16)
+    got = {
+        tuple(r)
+        for r in blocking.sorted_neighborhood_candidates(
+            df, "key", window=5, num_partitions=8
+        ).collect()
+    }
+    expected = {
+        (keys[i], keys[j]) for i in range(len(keys)) for j in range(i + 1, min(i + 6, len(keys)))
+    }
+    assert got == expected
+
+
 def test_plans_have_no_cross_joins(spark):
     # permanent net for the plan audit: candidate generation must never
     # plan a CartesianProduct / BroadcastNestedLoopJoin

@@ -195,3 +195,13 @@ def test_extract_media_features_file_refs(spark, tmp_path):
     with pytest.raises(Exception, match="NotImplementedError|no fetch client"):
         extract_media_features(bad, feat_dim=16).collect()
     assert extract_media_features(bad, feat_dim=16, on_error="skip").count() == 0
+    # declared kind vs decoded kind mismatch: a "wav declared as image" must
+    # not ship sample-rate/channels under width/height — error by default,
+    # dropped with on_error="skip"
+    lying = spark.createDataFrame(
+        [doc(9, "b.wav", "image")],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    with pytest.raises(Exception, match="declared kind"):
+        extract_media_features(lying, feat_dim=16).collect()
+    assert extract_media_features(lying, feat_dim=16, on_error="skip").count() == 0

@@ -138,6 +138,51 @@ def test_streaming_sessionize(spark, tmp_path):
     assert any(r[1] == at(0) and r[3] == 1 and r[4] == 8.0 for r in u2)
 
 
+def test_sessionize_string_keys(spark, tmp_path):
+    # key type is derived from the input schema, not hardcoded long —
+    # string user keys must survive batch AND streaming sessionization
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [("alice", at(0), 1.0), ("alice", at(1), 2.0), ("alice", at(20), 4.0),
+            ("bob", at(0), 8.0)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in streaming.sessionize(df, gap_seconds=300).collect()
+    )
+    assert got == [
+        ("alice", at(0), 2, 3.0), ("alice", at(20), 1, 4.0), ("bob", at(0), 1, 8.0)
+    ]
+
+    src = str(tmp_path / "ev_str")
+    out = str(tmp_path / "sess_out_str")
+    spark.createDataFrame(rows, "user_id string, ts timestamp, value double").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("bob", at(120), 16.0)], "user_id string, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming.streaming_sessionize(stream, gap_seconds=300, watermark="1 second")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_str"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    srows = {(r["user_id"], r["session_start"]) for r in spark.read.parquet(out).collect()}
+    assert ("alice", at(0)) in srows  # in-batch gap split with a string key
+
+
 def test_sessionize_max_session_cap(spark, tmp_path):
     # events 2 min apart never hit the 5-min gap, but the 10-min session cap
     # force-closes the run — a rule session_window cannot express
