@@ -53,12 +53,32 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    shuffle_bytes: dict[str, dict[str, int]] = {}
+
+    def _shuffle_totals() -> tuple[int, int]:
+        """Cumulative (read, write) shuffle bytes from the app status store —
+        per-query deltas catch plan regressions wall time can hide."""
+        store = spark.sparkContext._jsc.sc().statusStore()
+        lst = store.executorList(False)
+        r = w = 0
+        for i in range(lst.size()):
+            e = lst.apply(i)
+            r += e.totalShuffleRead()
+            w += e.totalShuffleWrite()
+        return r, w
 
     def bench(name, fn):
+        r0, w0 = _shuffle_totals()
         t0 = time.time()
         n = fn()
         timings[name] = round(time.time() - t0, 3)
-        print(f"{name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        r1, w1 = _shuffle_totals()
+        shuffle_bytes[name] = {"read": r1 - r0, "write": w1 - w0}
+        print(
+            f"{name}: {timings[name]}s ({n} rows, "
+            f"shuffle r/w {(r1-r0)>>20}/{(w1-w0)>>20} MiB)",
+            file=sys.stderr,
+        )
 
     # 1. fuzzy string join, lv tau=1 over distinct part names
     names = rd("part").select(F.col("p_name").alias("name")).distinct()
@@ -130,6 +150,7 @@ def main() -> int:
     # of the LSH path), so the recall probe must not itself go quadratic
     # with sf
     emb_s = emb.where(F.col("vec_id") < 500)
+    r0, w0 = _shuffle_totals()
     t0 = time.time()
     exact_pairs = {
         (r["id1"], r["id2"])
@@ -142,18 +163,23 @@ def main() -> int:
                                       n_planes=16, bands=8).collect()
     }
     timings["lsh_pairs"] = round(time.time() - t0, 3)
+    r1, w1 = _shuffle_totals()
+    shuffle_bytes["lsh_pairs"] = {"read": r1 - r0, "write": w1 - w0}
     extras["lsh_recall"] = round(len(lsh_pairs & exact_pairs) / max(len(exact_pairs), 1), 4)
     print(f"lsh_pairs: {timings['lsh_pairs']}s recall={extras['lsh_recall']}", file=sys.stderr)
 
     # 8. the ER pipeline on a synthetic corpus scaled by sf
     n_entities = max(int(500_000 * float(sf)), 500)
     ckpt = tempfile.mkdtemp(prefix="fz_bench_er_")
+    r0, w0 = _shuffle_totals()
     t0 = time.time()
     out = er_pipeline(
         spark, synth_documents(spark, n_entities), checkpoint_dir=ckpt, resume=False
     )
     runner = out["runner"]
     timings["er_pipeline"] = round(time.time() - t0, 3)
+    r1, w1 = _shuffle_totals()
+    shuffle_bytes["er_pipeline"] = {"read": r1 - r0, "write": w1 - w0}
     stage_walls = {
         st: runner.manifests[st]["wall_s"]
         for st in ("keys", "pairs", "edges", "clusters", "entities")
@@ -182,6 +208,7 @@ def main() -> int:
         "er_candidate_pairs": extras["er_candidate_pairs"],
         "er_docs": extras["er_docs"],
         "lsh_recall": extras["lsh_recall"],
+        "shuffle_bytes": shuffle_bytes,
     }
     print(json.dumps(result))
     spark.stop()

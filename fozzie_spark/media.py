@@ -68,20 +68,33 @@ def extract_media_features(
     feat_dim: int = 32,
     deterministic_fake: bool = False,
     on_error: str = "error",
+    fetch=None,
 ) -> DataFrame:
     """Decode + feature-extract every media span via mapInPandas.
 
     `file://` refs are REAL: bytes are read from the worker-local path and
-    decoded by the stdlib decoders (netpbm / PNG / WAV — same path as
-    `decode_media_features`). Other schemes (s3://, http://) need a fetch
-    client not present in this container: they raise NotImplementedError
-    (on_error="error", default) or are dropped (on_error="skip"), unless
-    `deterministic_fake=True`, which substitutes a seeded stand-in so the
-    plumbing (schema, batch shape, partitioning) stays testable end-to-end.
+    decoded by the stdlib decoders (netpbm / PNG / WAV, jpeg when PIL is
+    installed — same path as `decode_media_features`). Other schemes
+    (s3://, http://) decode through `fetch` when provided — an injectable
+    `Callable[[str], bytes]` (e.g. a boto3/requests wrapper), serialized to
+    the workers with the UDF, so production clusters plug their client in
+    without this package growing dependencies. Without `fetch`, remote
+    refs raise NotImplementedError (on_error="error", default) or are
+    dropped (on_error="skip"), unless `deterministic_fake=True`, which
+    substitutes a seeded stand-in so the plumbing (schema, batch shape,
+    partitioning) stays testable end-to-end.
     """
     if on_error not in ("skip", "error"):
         raise ValueError(f"unknown on_error {on_error!r}")
     refs = media_refs(docs)
+
+    def _read_ref(ref: str) -> bytes | None:
+        if ref and ref.startswith("file://"):
+            with open(ref[len("file://"):], "rb") as f:
+                return f.read()
+        if fetch is not None:
+            return fetch(ref)
+        return None
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -89,10 +102,16 @@ def extract_media_features(
             for doc_id, ref, kind in zip(pdf["doc_id"], pdf["media_ref"], pdf["kind"]):
                 if deterministic_fake:
                     w, h, nf, feat = _fake_decode(ref, kind, feat_dim)
-                elif ref and ref.startswith("file://"):
+                else:
                     try:
-                        with open(ref[len("file://"):], "rb") as f:
-                            dec_kind, w, h, nf, feat = _decode_bytes(f.read(), feat_dim)
+                        data = _read_ref(ref)
+                        if data is None:
+                            raise NotImplementedError(
+                                f"no fetch client for media_ref {ref!r} — pass "
+                                "fetch=<callable> for s3/http schemes; file:// "
+                                "refs decode built-in, or deterministic_fake=True"
+                            )
+                        dec_kind, w, h, nf, feat = _decode_bytes(data, feat_dim)
                         if dec_kind != kind:
                             # declared "image" that decodes as WAV must not
                             # ship audio fields under image column names
@@ -104,15 +123,6 @@ def extract_media_features(
                         if on_error == "error":
                             raise
                         continue
-                else:
-                    err = NotImplementedError(
-                        f"no fetch client for media_ref {ref!r} (s3/http need a "
-                        "client not in this container); file:// refs decode for "
-                        "real, or pass deterministic_fake=True"
-                    )
-                    if on_error == "error":
-                        raise err
-                    continue
                 rows.append((doc_id, ref, kind, w, h, nf, feat))
             yield pd.DataFrame(
                 rows,
@@ -316,8 +326,23 @@ def _decode_bytes(data: bytes, feat_dim: int) -> tuple[str, int, int, int, np.nd
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         rate, nch, x = _decode_wav(data)
         return "audio", rate, nch, len(x), _audio_feature(x, feat_dim)
+    if data[:3] == b"\xff\xd8\xff":
+        # jpeg: decode via PIL when it exists at runtime (cluster images
+        # usually ship pillow; this sandbox doesn't). The probe keeps the
+        # stdlib-only default honest while completing the decoder story
+        # wherever a real image library is installed.
+        try:
+            from PIL import Image  # noqa: PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "jpeg decode needs PIL/pillow, which is not installed in this "
+                "environment (netpbm/PNG/WAV decode with the stdlib)"
+            ) from e
+        img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), dtype=np.uint8)
+        grid = max(int(feat_dim**0.5), 1)
+        return "image", img.shape[1], img.shape[0], 1, _image_feature(img, grid)
     raise NotImplementedError(
-        f"no stdlib decoder for magic {data[:4]!r} (jpeg/mp4 need PIL/ffmpeg)"
+        f"no stdlib decoder for magic {data[:4]!r} (jpeg needs PIL, mp4 ffmpeg)"
     )
 
 

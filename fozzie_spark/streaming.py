@@ -182,6 +182,36 @@ def streaming_sessionize(
     )
 
 
+def _parquet_fragments(spark, path: str) -> int:
+    """Number of parquet part files under `path` (0 when absent), via the
+    Hadoop FileSystem API so any supported storage scheme works."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    return sum(
+        1 for st in fs.listStatus(p) if st.getPath().getName().endswith(".parquet")
+    )
+
+
+def _compact_parquet(spark, path: str, target_files: int):
+    """Rewrite a parquet dir down to `target_files` fragments: write to a
+    sibling tmp dir, then swap (delete + rename). The swap is not atomic
+    against concurrent readers — callers run it inside foreachBatch, where
+    the streaming trigger serializes access to the table."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(path).coalesce(max(target_files, 1)).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    p, pt = jvm.org.apache.hadoop.fs.Path(path), jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = p.getFileSystem(hconf)
+    fs.delete(p, True)
+    fs.rename(pt, p)
+
+
 def run_incremental_match(
     stream: DataFrame,
     entity_table_path: str,
@@ -190,6 +220,9 @@ def run_incremental_match(
     method: str = "jaccard",
     max_distance: float = 0.4,
     q: int = 3,
+    compact_above: int | None = 16,
+    compact_target_files: int = 4,
+    compact_assignments: bool = False,
 ):
     """Start a foreachBatch query that fuzzy-matches each micro-batch
     against the canonical entity key table at `entity_table_path` (parquet,
@@ -197,6 +230,15 @@ def run_incremental_match(
 
     Returns the StreamingQuery. Output: `{entity_table_path}_assignments`
     accumulates (doc row + entity_id) per batch.
+
+    Every micro-batch appends one parquet fragment to the entity table (and
+    the assignments dir) — the classic streaming small-files problem. When
+    a table's fragment count exceeds `compact_above`, it is rewritten down
+    to `compact_target_files` fragments inside the same foreachBatch call
+    (the trigger serializes table access, so readers never race the swap).
+    Assignments compaction is off by default (`compact_assignments`) —
+    assignment rows are append-only results, and downstream consumers may
+    be tailing the directory.
     """
     from fozzie_spark.joins import fuzzy_string_join
 
@@ -232,6 +274,14 @@ def run_incremental_match(
             .distinct()
         )
         new_keys.write.mode("append").parquet(entity_table_path)
+        if compact_above and _parquet_fragments(spark, entity_table_path) > compact_above:
+            _compact_parquet(spark, entity_table_path, compact_target_files)
+        if (
+            compact_assignments
+            and compact_above
+            and _parquet_fragments(spark, entity_table_path + "_assignments") > compact_above
+        ):
+            _compact_parquet(spark, entity_table_path + "_assignments", compact_target_files)
 
     return (
         stream.writeStream.foreachBatch(_process)

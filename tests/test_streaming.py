@@ -82,6 +82,46 @@ def test_incremental_match(spark, tmp_path):
     assert by_doc["c"] & (by_doc["a"] | by_doc["b"])  # c joined an existing entity
 
 
+def test_incremental_match_compaction(spark, tmp_path):
+    # 12 micro-batches: without compaction the entity table accumulates one
+    # fragment per batch; with compact_above the fragment count stays
+    # bounded while assignments are identical to the uncompacted run
+    from fozzie_spark.streaming import _parquet_fragments
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    batches = [[(f"d{i}", f"document number {i} unique payload {i}", t)] for i in range(12)]
+
+    def run(tag, **kw):
+        src = str(tmp_path / f"src_{tag}")
+        ent = str(tmp_path / f"ent_{tag}")
+        for rows in batches:
+            _write_batch(spark, src, rows)
+        stream = (
+            spark.readStream.schema("doc_id string, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming.run_incremental_match(
+            stream, ent, str(tmp_path / f"ck_{tag}"), key_col="text",
+            max_distance=0.4, q=3, **kw,
+        )
+        q.awaitTermination(300)
+        assigns = {
+            (r["doc_id"], r["entity_id"])
+            for r in spark.read.parquet(ent + "_assignments").collect()
+        }
+        return assigns, _parquet_fragments(spark, ent)
+
+    plain, frags_plain = run("plain", compact_above=None)
+    compacted, frags_comp = run(
+        "comp", compact_above=5, compact_target_files=2, compact_assignments=True
+    )
+    assert frags_plain >= 12  # one fragment per batch without compaction
+    assert frags_comp <= 5 + 1  # bounded: compacted down whenever cap exceeded
+    assert {d for d, _ in plain} == {d for d, _ in compacted} == {f"d{i}" for i in range(12)}
+    assert plain == compacted  # identical assignment results
+
+
 def _write_events(spark, path, rows):
     spark.createDataFrame(
         rows, "user_id long, ts timestamp, value double"
