@@ -67,9 +67,13 @@ _EDIT_DAMAGE = {
     "damerau_levenshtein": lambda q: q + 1,
 }
 
-#: methods er_pipeline's blocking is RECALL-SOUND for (gram index + the
-#: complementary blocks); anything else would run with silent recall holes
-SUPPORTED_METHODS = frozenset({"jaccard"} | set(_EDIT_DAMAGE))
+#: methods er_pipeline's blocking is RECALL-SOUND for: the fused PPJoin
+#: index (jaccard), the gram-count index + length-band short-key block
+#: (edit family), and blocking.ngram_candidates' lossless prefix builders
+#: (qgram via tau+1 prefixes, cosine via weighted AllPairs). jaro/jw stay
+#: rejected — their count bound goes vacuous at tau >= 2/3 and the
+#: fallback is a cross join.
+SUPPORTED_METHODS = frozenset({"jaccard", "qgram", "cosine"} | set(_EDIT_DAMAGE))
 
 
 def _bloom_sig_cols(gs_col) -> list:
@@ -134,6 +138,11 @@ def er_pipeline(
             f"er_pipeline blocking is not recall-sound for method {method!r}; "
             f"supported: {sorted(SUPPORTED_METHODS)}"
         )
+    if method == "cosine" and max_distance >= 1.0:
+        # every pair matches at cosine tau >= 1 (empty profiles score 1.0) —
+        # the only lossless blocking is the cross join; refuse at scale
+        raise ValueError("er_pipeline: cosine with max_distance >= 1 is degenerate "
+                         "(every pair matches); use a threshold < 1")
     params = {
         "method": method,
         "max_distance": max_distance,
@@ -168,6 +177,9 @@ def er_pipeline(
     # 512-bit Bloom signature words (the pairs stage used to attach these
     # via an extra broadcast join per side). One cache, many consumers.
     bloom = method == "jaccard"
+    # qgram/cosine block through blocking.ngram_candidates on the key
+    # strings; only jaccard/edit need the per-key gram arrays cached here
+    need_grams = bloom or method in _EDIT_DAMAGE
     _gs = F.array_distinct(qgrams_col("key", q))
     uniq = (
         keys.select("key", "kid")
@@ -176,8 +188,7 @@ def er_pipeline(
         .select(
             "key",
             "kid",
-            _gs.alias("gs"),
-            F.size(_gs).alias("n"),
+            *([_gs.alias("gs"), F.size(_gs).alias("n")] if need_grams else []),
             *(_bloom_sig_cols(_gs) if bloom else []),
         )
         .persist()
@@ -208,6 +219,38 @@ def er_pipeline(
             1 + min(n - rn, n2 - rn2) >= ceil(t/(1+t) * (n + n2)).
         `max_gram_df` remains as an (approximate) safety valve on top.
         """
+        from pyspark.sql import Observation
+
+        if method in ("qgram", "cosine"):
+            # lossless prefix-filtered candidates from the shared blocking
+            # layer (qgram: tau+1 rarity prefixes + small-profile block;
+            # cosine: weighted AllPairs — Bayardo WWW'07), generated over
+            # the distinct KEY strings and mapped to 128-bit ids for the
+            # pair/cluster path. Note: the builder's internal shuffles carry
+            # key strings (not ids) — heavier per row than the fused
+            # jaccard index; the honest trade for reusing one audited
+            # implementation of the weighted-cosine prefix theorem.
+            from fozzie_spark import blocking as B
+
+            kl = uniq.select(F.col("key").alias("__fz_l0"))
+            kr = uniq.select(F.col("key").alias("__fz_r0"))
+            ck = B.ngram_candidates(
+                kl, kr, "__fz_l0", "__fz_r0", method, max_distance, q, prefix_mode="auto"
+            )
+            ids_l = uniq.select(F.col("key").alias("__fz_l0"), "kid")
+            ids_r = uniq.select(F.col("key").alias("__fz_r0"), F.col("kid").alias("kid2"))
+            if _n_uniq() < 5_000_000:
+                ids_l, ids_r = F.broadcast(ids_l), F.broadcast(ids_r)
+            cand = (
+                ck.join(ids_l, "__fz_l0")
+                .join(ids_r, "__fz_r0")
+                .where(F.col("kid") < F.col("kid2"))
+                .select("kid", "kid2")
+            )
+            obs = Observation()
+            cand = cand.observe(obs, F.count(F.lit(1)).alias("raw_candidates"))
+            return cand.distinct(), obs
+
         t = 1.0 - max_distance  # similarity threshold
         cap = (
             max(10_000, _n_uniq() // 8) if max_gram_df == "auto" else max_gram_df

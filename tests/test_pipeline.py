@@ -204,3 +204,38 @@ def test_pipeline_edit_method_short_keys(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not recall-sound"):
         er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "x"), method="jw")
+
+
+def test_pipeline_qgram_and_cosine_methods(spark, tmp_path):
+    # profile-distance methods route through blocking.ngram_candidates and
+    # verify JVM-side in the edges stage; near-dup texts must co-cluster,
+    # distinct texts must not
+    def doc(i, text):
+        return (f"d{i}", [{"kind": "text", "text": text, "media_ref": None, "offset": 0}])
+
+    docs = spark.createDataFrame(
+        [
+            doc(0, "the quick brown fox jumps over the dog"),
+            doc(1, "the quick brown fox jumps over the hog"),
+            doc(2, "entirely unrelated payload zqxjv"),
+            doc(3, "ab"),  # shorter than q: empty gram profile
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    for method, tau in (("qgram", 6), ("cosine", 0.2)):
+        out = er_pipeline(
+            spark, docs, checkpoint_dir=str(tmp_path / method), method=method,
+            max_distance=tau, q=3, resume=False,
+        )
+        ent = {r["doc_id"]: r["entity_id"] for r in out["entities"].collect()}
+        assert ent["d0"] == ent["d1"], method
+        assert ent["d2"] != ent["d0"], method
+        assert len(ent) == 4, method  # every doc assigned (incl. empty-profile d3)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="degenerate"):
+        er_pipeline(
+            spark, docs, checkpoint_dir=str(tmp_path / "c1"), method="cosine",
+            max_distance=1.0,
+        )
