@@ -632,6 +632,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_entities"] = _er
 
+    def _er_cosine(s, d):
+        # the qgram/cosine ER path (blocking.ngram_candidates -> kid pairs
+        # -> JVM cosine verify -> CC). Oracle: each sidecar'd edge is
+        # RE-SCORED in DuckDB (multiset q-gram cosine over the full key
+        # texts — any false-positive edge or wrong threshold breaks the
+        # match) and clustering is re-derived independently with a
+        # recursive CTE; recall losslessness of the AllPairs prefix is
+        # pinned separately in tests/test_blocking.py.
+        import tempfile
+
+        from pyspark.sql import Window
+
+        from fozzie_spark.pipeline import er_pipeline
+        from fozzie_spark.synth import synth_documents
+
+        docs = synth_documents(s, 300, seed=42)
+        out = er_pipeline(
+            s, docs, checkpoint_dir=tempfile.mkdtemp(prefix="fz_erc_"),
+            method="cosine", max_distance=0.25, q=3, resume=False,
+        )
+        keys = out["keys"]
+        keys.select("doc_id", "key").coalesce(1).write.mode("overwrite").parquet(
+            f"{_SIDECAR}/er_cos_keys"
+        )
+        uniq = keys.select("kid", "key").distinct()
+        (
+            out["edges"]
+            .join(uniq.select("kid", F.col("key").alias("key1")), "kid")
+            .join(
+                uniq.select(F.col("kid").alias("kid2"), F.col("key").alias("key2")), "kid2"
+            )
+            .select("key1", "key2")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{_SIDECAR}/er_cos_edges")
+        )
+        ents = out["entities"].select("doc_id", "entity_id")
+        w = Window.partitionBy("entity_id")
+        return ents.select("doc_id", F.min("doc_id").over(w).alias("entity_rep"))
+
+    q["er_cosine_entities"] = _er_cosine
+
     return q
 
 
@@ -1092,6 +1134,43 @@ def oracle_sql() -> dict[str, str]:
         docs AS (SELECT * FROM read_parquet('{_SIDECAR}/er_keys/*.parquet')),
         e AS (SELECT key1 AS a, key2 AS b
               FROM read_parquet('{_SIDECAR}/er_edges/*.parquet')),
+        und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        comp AS (SELECT a AS k, least(a, min(b)) AS c FROM reach GROUP BY a),
+        keyed AS (
+          SELECT d.doc_id, coalesce(c.c, d.key) AS comp
+          FROM docs d LEFT JOIN comp c ON c.k = d.key
+        )
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY comp) AS entity_rep FROM keyed
+    """
+    gk1, gk2 = _grams_sql("key1", 3), _grams_sql("key2", 3)
+    o["er_cosine_entities"] = f"""
+        WITH RECURSIVE
+        docs AS (SELECT * FROM read_parquet('{_SIDECAR}/er_cos_keys/*.parquet')),
+        raw_e AS (SELECT key1, key2
+                  FROM read_parquet('{_SIDECAR}/er_cos_edges/*.parquet')),
+        -- precision gate: every emitted edge must re-score within tau in
+        -- an INDEPENDENT cosine implementation; a false edge would change
+        -- the re-derived clustering and break the hash match
+        e AS (
+          SELECT key1 AS a, key2 AS b FROM raw_e
+          WHERE CASE WHEN len({gk1}) = 0 OR len({gk2}) = 0 THEN 1.0
+                ELSE 1.0 - CAST(coalesce(list_sum(list_transform(
+                         list_distinct(list_concat({gk1}, {gk2})),
+                         u -> len(list_filter({gk1}, x -> x = u))
+                            * len(list_filter({gk2}, x -> x = u)))), 0) AS DOUBLE)
+                  / (sqrt(CAST(list_sum(list_transform(list_distinct({gk1}),
+                         u -> len(list_filter({gk1}, x -> x = u))
+                            * len(list_filter({gk1}, x -> x = u)))) AS DOUBLE))
+                   * sqrt(CAST(list_sum(list_transform(list_distinct({gk2}),
+                         u -> len(list_filter({gk2}, x -> x = u))
+                            * len(list_filter({gk2}, x -> x = u)))) AS DOUBLE)))
+                END <= 0.25
+        ),
         und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
         reach(a, b) AS (
           SELECT a, b FROM und

@@ -63,7 +63,11 @@ def main(argv=None) -> int:
     p.add_argument("--method", default="jaccard")
     p.add_argument("--max-distance", type=float, default=0.6)
     p.add_argument("--q", type=int, default=4)
-    p.add_argument("--max-gram-df", type=int, default=10_000)
+    p.add_argument(
+        "--max-gram-df",
+        default="auto",
+        help="hot-gram df cap: integer, 'none', or 'auto' = max(10000, n_keys//8)",
+    )
     p.add_argument("--salt-partitions", type=int)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
@@ -90,6 +94,10 @@ def main(argv=None) -> int:
     else:
         p.error("one of --input / --synth-entities is required")
 
+    mgd = args.max_gram_df
+    if isinstance(mgd, str) and mgd.lower() != "auto":
+        mgd = None if mgd.lower() in ("none", "0") else int(mgd)
+
     t0 = time.time()
     out = er_pipeline(
         spark,
@@ -98,7 +106,7 @@ def main(argv=None) -> int:
         method=args.method,
         max_distance=args.max_distance,
         q=args.q,
-        max_gram_df=args.max_gram_df,
+        max_gram_df=mgd,
         salt_partitions=args.salt_partitions,
         resume=not args.no_resume,
         reliable_cc=args.reliable_cc,

@@ -481,7 +481,15 @@ def er_pipeline(
         else:
             dict_a = uniq.select("kid", F.col("key").alias("__k1"))
             dict_b = uniq.select(F.col("kid").alias("kid2"), F.col("key").alias("__k2"))
-            dist = jvm_distance_col(method, "__k1", "__k2", max_distance, q=q)
+            if method in ("qgram", "cosine"):
+                # ER keys are DOCUMENTS: the JVM profile expressions count
+                # each gram via an O(g) array filter => O(g²) per pair,
+                # quadratic in document length. The Arrow scorer builds
+                # dict profiles in O(g), which wins decisively on long
+                # keys (JVM wins only on name-length strings).
+                dist = None
+            else:
+                dist = jvm_distance_col(method, "__k1", "__k2", max_distance, q=q)
             if dist is None:
                 udf = string_distance_udf(method, max_distance=max_distance, q=q)
                 dist = udf(F.col("__k1"), F.col("__k2"))
