@@ -20,11 +20,15 @@ def _fingerprint(edges: DataFrame) -> tuple:
     # (count, order-independent hash sum) — enough to detect any edge-set
     # change between rounds (collision odds negligible); one scan, two
     # aggregate expressions
-    row = edges.agg(
-        F.count(F.lit(1)),
-        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-    ).first()
-    return tuple(row)
+    row = edges.agg(*_fingerprint_aggs())
+    return tuple(row.first())
+
+
+def _fingerprint_aggs() -> list:
+    return [
+        F.count(F.lit(1)).alias("__fz_n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("__fz_h"),
+    ]
 
 
 def _rm_path(spark, path: str) -> None:
@@ -103,10 +107,20 @@ def connected_components(
     )
     all_nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
 
+    from pyspark.sql import Observation
+
     prev_fp, prev_path, prev_ids = None, None, set()
     for i in range(max_iter):
         e = _small_star(_large_star(e))
         if checkpoint_every and i % checkpoint_every == 0:
+            # FUSE the convergence fingerprint into the checkpoint's own
+            # materialization action (Observation metrics are collected as
+            # a side effect of the write/localCheckpoint job) — the rounds
+            # are latency-bound serial job submissions, so one action per
+            # round instead of two halves the serial floor the clusters
+            # stage puts on every run regardless of parallelism.
+            obs = Observation()
+            e = e.observe(obs, *_fingerprint_aggs())
             if checkpoint_dir:
                 path = f"{checkpoint_dir.rstrip('/')}/cc_round_{i}"
                 e.write.mode("overwrite").parquet(path)
@@ -124,7 +138,10 @@ def connected_components(
                 e = e.localCheckpoint(eager=True)
                 _unpersist_ids(spark, prev_ids)
                 prev_ids = _persistent_ids(spark) - before
-        fp = _fingerprint(e)
+            m = obs.get
+            fp = (m["__fz_n"], m["__fz_h"])
+        else:
+            fp = _fingerprint(e)
         if fp == prev_fp:
             break
         prev_fp = fp
