@@ -345,6 +345,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["regex_inner"] = _regex
 
+    # ---- extra mode coverage: semi/anti/left/full + multi-key on the
+    # non-string families (the string family pins all 6 modes already) ----
+    def _diff_mode(s, d, how):
+        cust = s.read.parquet(f"{d}/customer.parquet").select("c_custkey", "c_acctbal")
+        supp = s.read.parquet(f"{d}/supplier.parquet").select("s_suppkey", "s_acctbal")
+        out = difference_join(
+            cust, supp, by={"c_acctbal": "s_acctbal"}, how=how, max_distance=0.5
+        )
+        return out.select("c_custkey", "c_acctbal")
+
+    q["difference_semi"] = lambda s, d: _diff_mode(s, d, "semi")
+    q["difference_anti"] = lambda s, d: _diff_mode(s, d, "anti")
+
+    def _diff_multikey(s, d):
+        li = (
+            s.read.parquet(f"{d}/lineitem.parquet")
+            .select(F.col("l_discount").alias("disc"), F.col("l_tax").alias("tax"))
+            .distinct()
+        )
+        out = difference_join(
+            li, li, by=["disc", "tax"], max_distance=0.005,
+            distance_col="dist", suffixes=("_x", "_y"),
+        )
+        return out.select(
+            "disc_x", "tax_x", "disc_y", "tax_y",
+            F.round("dist_disc_disc", 6).alias("d1"),
+            F.round("dist_tax_tax", 6).alias("d2"),
+        )
+
+    q["difference_multikey_inner"] = _diff_multikey
+
+    def _interval_left(s, d):
+        o = (
+            s.read.parquet(f"{d}/orders.parquet")
+            .where(F.col("o_orderkey") % 100 == 0)
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_totalprice").alias("s"),
+                (F.col("o_totalprice") + 20000.0).alias("e"),
+            )
+        )
+        # right side shifted up 150k so most left intervals go unmatched —
+        # a left join that degenerates to inner would be a vacuous check
+        r = o.select(
+            F.col("k").alias("k2"),
+            (F.col("s") + 150000.0).alias("s2"),
+            (F.col("s") + 155000.0).alias("e2"),
+        )
+        out = interval_join(o, r, by={"s": "s2", "e": "e2"}, how="left", interval_mode="real")
+        return out.select("k", "k2")
+
+    q["interval_left"] = _interval_left
+
+    def _regex_mode(s, d, how):
+        docs = s.read.parquet(f"{d}/documents.parquet").select("doc_id", "text")
+        pats = s.createDataFrame(
+            [("^key",), ("value$",), ("spark",), ("agg.*sort",)], "pattern string"
+        )
+        out = regex_join(docs, pats, by={"text": "pattern"}, how=how)
+        return out.select("doc_id", "pattern") if how == "left" else out.select("doc_id")
+
+    q["regex_left"] = lambda s, d: _regex_mode(s, d, "left")
+    q["regex_anti"] = lambda s, d: _regex_mode(s, d, "anti")
+
+    def _temporal_full(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet")
+        err = ev.where(F.col("event_type") == "error").select("event_id", "ts")
+        sgn = ev.where(F.col("event_type") == "signup").select(
+            F.col("event_id").alias("event_id2"), F.col("ts").alias("ts2")
+        )
+        out = temporal_join(
+            err, sgn, by={"ts": "ts2"}, how="full", max_distance=2,
+            unit="seconds", distance_col="dist",
+        )
+        return out.select("event_id", "event_id2", F.round("dist", 6).alias("dist"))
+
+    q["temporal_full"] = _temporal_full
+
     # ---- training-data ops over documents -------------------------------------
     def _docs(s, d):
         return s.read.parquet(f"{d}/documents.parquet")
@@ -831,6 +909,50 @@ def oracle_sql() -> dict[str, str]:
                round(abs(c.c_acctbal - s.s_acctbal), 6) AS dist
         FROM customer c LEFT JOIN supplier s
           ON abs(c.c_acctbal - s.s_acctbal) <= 0.5 + {eps}
+    """
+    o["difference_semi"] = f"""
+        SELECT c.c_custkey, c.c_acctbal FROM customer c
+        WHERE EXISTS (SELECT 1 FROM supplier s
+                      WHERE abs(c.c_acctbal - s.s_acctbal) <= 0.5 + {eps})
+    """
+    o["difference_anti"] = f"""
+        SELECT c.c_custkey, c.c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE abs(c.c_acctbal - s.s_acctbal) <= 0.5 + {eps})
+    """
+    o["difference_multikey_inner"] = f"""
+        WITH t AS (SELECT DISTINCT l_discount AS disc, l_tax AS tax FROM lineitem)
+        SELECT a.disc AS disc_x, a.tax AS tax_x, b.disc AS disc_y, b.tax AS tax_y,
+               round(abs(a.disc - b.disc), 6) AS d1, round(abs(a.tax - b.tax), 6) AS d2
+        FROM t a, t b
+        WHERE abs(a.disc - b.disc) <= 0.005 + {eps}
+          AND abs(a.tax - b.tax) <= 0.005 + {eps}
+    """
+    o["interval_left"] = """
+        WITH t AS (SELECT o_orderkey AS k, o_totalprice AS s, o_totalprice + 20000.0 AS e
+                   FROM orders WHERE o_orderkey % 100 = 0),
+        r AS (SELECT k AS k2, s + 150000.0 AS s2, s + 155000.0 AS e2 FROM t)
+        SELECT t.k, r.k2
+        FROM t LEFT JOIN r ON t.s <= r.e2 AND r.s2 <= t.e
+    """
+    o["regex_left"] = """
+        SELECT d.doc_id, p.pattern
+        FROM documents d
+        LEFT JOIN (VALUES ('^key'), ('value$'), ('spark'), ('agg.*sort')) p(pattern)
+          ON regexp_matches(d.text, p.pattern)
+    """
+    o["regex_anti"] = """
+        SELECT d.doc_id FROM documents d
+        WHERE NOT EXISTS (
+          SELECT 1 FROM (VALUES ('^key'), ('value$'), ('spark'), ('agg.*sort')) p(pattern)
+          WHERE regexp_matches(d.text, p.pattern))
+    """
+    o["temporal_full"] = f"""
+        WITH a AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+        b AS (SELECT event_id AS event_id2, ts AS ts2 FROM events WHERE event_type = 'signup')
+        SELECT a.event_id, b.event_id2,
+               round(abs(epoch(a.ts) - epoch(b.ts2)), 6) AS dist
+        FROM a FULL JOIN b ON abs(epoch(a.ts) - epoch(b.ts2)) <= 2 + {eps}
     """
     o["temporal_inner"] = f"""
         SELECT a.event_id, b.event_id AS event_id2,
