@@ -58,7 +58,12 @@ def use_prefix_filter(lkeys: DataFrame, rkeys: DataFrame) -> bool:
     sizes = [_plan_size_bytes(df) for df in (lkeys, rkeys)]
     if any(sz is not None and sz > PREFIX_AUTO_BYTES_THRESHOLD for sz in sizes):
         return True
-    return lkeys.count() + rkeys.count() >= PREFIX_AUTO_KEY_THRESHOLD
+    total = (
+        lkeys.select(F.lit(1).alias("__fz_one"))
+        .unionByName(rkeys.select(F.lit(1).alias("__fz_one")))
+        .count()
+    )  # one job, not two
+    return total >= PREFIX_AUTO_KEY_THRESHOLD
 
 
 def qgrams_col(col: str, q: int):
