@@ -51,6 +51,36 @@ def test_ngram_candidates_superset(spark):
             assert true <= got, (method, mode, true - got)
 
 
+def test_ngram_prefix_superset_randomized(spark):
+    # randomized recall safety net for the prefix builders (especially the
+    # weighted AllPairs cosine unindexing): across seeds and thresholds,
+    # 'prefix' candidates must contain every true match that 'simple' finds
+    import random
+
+    for seed, (method, tau) in (
+        (11, ("cosine", 0.35)), (12, ("cosine", 0.6)),
+        (13, ("jaccard", 0.45)), (14, ("qgram", 3)),
+    ):
+        rng = random.Random(seed)
+        vals = list({
+            "".join(rng.choice("abcdef") for _ in range(rng.randint(1, 12)))
+            for _ in range(80)
+        })
+        ldf, rdf = kdf(spark, vals, "__fz_l0"), kdf(spark, vals, "__fz_r0")
+        cand = blocking.ngram_candidates(
+            ldf, rdf, "__fz_l0", "__fz_r0", method, tau, q=2, prefix_mode="prefix"
+        )
+        got = {tuple(r) for r in cand.collect()}
+        true = {
+            (a, b)
+            for a in vals
+            for b in vals
+            if D.score_batch(method, [a], [b], max_distance=tau, q=2)[0] <= tau
+        }
+        missing = true - got
+        assert not missing, (method, tau, seed, sorted(missing)[:5])
+
+
 def test_prefix_auto_gate(spark, monkeypatch):
     small = kdf(spark, ["ab", "cd", "ef"], "__fz_l0")
     # 3 + 3 keys, tiny local plan -> simple path
