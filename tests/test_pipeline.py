@@ -239,3 +239,19 @@ def test_pipeline_qgram_and_cosine_methods(spark, tmp_path):
             spark, docs, checkpoint_dir=str(tmp_path / "c1"), method="cosine",
             max_distance=1.0,
         )
+
+    # resume works for the ngram-candidate branch: identical re-run leaves
+    # every stage manifest untouched; switching METHOD on the same dir
+    # invalidates and rewrites
+    import os
+
+    ck = str(tmp_path / "qgram")  # from the loop above: a completed qgram run
+    mtimes = {
+        s: os.path.getmtime(os.path.join(ck, f"{s}.manifest.json"))
+        for s in ("keys", "pairs", "edges", "clusters", "entities")
+    }
+    er_pipeline(spark, docs, checkpoint_dir=ck, method="qgram", max_distance=6, q=3)
+    for s, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(ck, f"{s}.manifest.json")) == t, s
+    er_pipeline(spark, docs, checkpoint_dir=ck, method="cosine", max_distance=0.2, q=3)
+    assert os.path.getmtime(os.path.join(ck, "pairs.manifest.json")) > mtimes["pairs"]
