@@ -26,7 +26,7 @@ def run_level(cpus: int, n_entities: int) -> dict:
     ckpt = f"/tmp/fz_scale_{cpus}"
     shutil.rmtree(ckpt, ignore_errors=True)
     t0 = time.time()
-    env = dict(os.environ, SPARK_DRIVER_MEMORY="24g")
+    env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("FZ_HEAP", "24g"))
     # taskset pins the whole process tree to `cpus` physical cores, so the
     # low level truly emulates a small machine instead of opportunistically
     # borrowing the host's spare cores for GC/JIT/OS work (paired with
