@@ -41,6 +41,10 @@ def build_session(app: str, cpus: str | None = None, shuffle_partitions: int | N
             "spark.driver.extraJavaOptions",
             f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}",
         )
+        # local mode funnels broadcast builds through the driver's
+        # task-result path; with document-sized keys the default 1g cap is
+        # the first thing to break at large corpus sizes
+        b = b.config("spark.driver.maxResultSize", "3g")
     b = (
         b.config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.adaptive.enabled", "true")

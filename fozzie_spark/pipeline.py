@@ -195,14 +195,24 @@ def er_pipeline(
     )
     _stage_persists: list[DataFrame] = []  # freed after the pairs stage writes
 
-    _uniq_n: list[int] = []
+    _uniq_stats: list[tuple[int, int]] = []
 
     def _n_uniq() -> int:
-        """Distinct-key count, computed ONCE per run (the count job scans the
-        persisted `uniq`; pairs and edges both gate broadcasts on it)."""
-        if not _uniq_n:
-            _uniq_n.append(uniq.count())
-        return _uniq_n[0]
+        return _uniq_stat()[0]
+
+    def _uniq_stat() -> tuple[int, int]:
+        """(distinct keys, total key bytes), computed ONCE per run in one
+        job over the persisted `uniq`. Broadcast gates use BOTH: a
+        broadcast build collects its child to the driver as task results,
+        so a count-only gate breaks on kilobyte document keys — the 1.5M
+        probe died at spark.driver.maxResultSize with ~3.7M keys that were
+        comfortably under the old 5M-row gate."""
+        if not _uniq_stats:
+            row = uniq.agg(
+                F.count(F.lit(1)), F.sum(F.length("key"))
+            ).first()
+            _uniq_stats.append((int(row[0]), int(row[1] or 0)))
+        return _uniq_stats[0]
 
     # ---- stage 2: blocking on distinct keys -> candidate id pairs ----------
     def _pairs():
@@ -239,7 +249,8 @@ def er_pipeline(
             )
             ids_l = uniq.select(F.col("key").alias("__fz_l0"), "kid")
             ids_r = uniq.select(F.col("key").alias("__fz_r0"), F.col("kid").alias("kid2"))
-            if _n_uniq() < 5_000_000:
+            n_u, key_bytes = _uniq_stat()
+            if n_u < 5_000_000 and key_bytes < (256 << 20):
                 ids_l, ids_r = F.broadcast(ids_l), F.broadcast(ids_r)
             cand = (
                 ck.join(ids_l, "__fz_l0")
@@ -493,7 +504,13 @@ def er_pipeline(
             if dist is None:
                 udf = string_distance_udf(method, max_distance=max_distance, q=q)
                 dist = udf(F.col("__k1"), F.col("__k2"))
-        if _n_uniq() < 5_000_000:
+        n_u, key_bytes = _uniq_stat()
+        # the dictionaries carry the key text (or its gram array — same
+        # order of magnitude), so gate on BYTES as well as rows: the
+        # broadcast build funnels the whole dictionary through the driver's
+        # task-result path. Past the gate, the dictionaries shuffle-join
+        # (measured equal at 32 cores; on a cluster it parallelizes).
+        if n_u < 5_000_000 and key_bytes < (256 << 20):
             dict_a, dict_b = F.broadcast(dict_a), F.broadcast(dict_b)
         return (
             scored_input.join(dict_a, "kid")
