@@ -89,6 +89,65 @@ def _grams_sql(col, q=2):
 # queries
 # ---------------------------------------------------------------------------
 
+#: Driver-gate registration order: flagships first (the driver checks the
+#: first 50 rows), then per-family coverage. Keep every entry here AND in
+#: queries() — the builder asserts exact agreement.
+_QUERY_ORDER = [
+    # flagship end-to-end components
+    "er_entities",
+    "er_cosine_entities",
+    "cosine_pairs",
+    "cosine_topk",
+    "lsh_cosine_pairs",
+    "media_decode",
+    "near_dedup",
+    "connected_components",
+    "minhash_dedup",
+    "simhash_pairs",
+    "jaccard_dedup",
+    "exact_dedup",
+    "winnow_overlap",
+    "winnow_fps",
+    "sessionize",
+    "token_counts",
+    "quality",
+    "language_id",
+    "fingerprint",
+    # string-join method family
+    "string_lv_inner",
+    "string_osa_inner",
+    "string_dl_inner",
+    "string_hamming_inner",
+    "string_lcs_inner",
+    "string_jaccard_inner",
+    "string_qgram_inner",
+    "string_cosine_inner",
+    "string_jw_inner",
+    "string_soundex_inner",
+    # materialization modes + multi-key
+    "string_lv_left_right",
+    "string_lv_full",
+    "string_lv_semi_anti",
+    "string_multikey_inner",
+    # non-string join families
+    "difference_inner",
+    "difference_left",
+    "difference_semi_anti",
+    "difference_multikey_inner",
+    "temporal_inner",
+    "temporal_full",
+    "distance_euclid_manhattan",
+    "interval_real_inner",
+    "interval_integer_inner",
+    "interval_within_inner",
+    "interval_gap_overlap",
+    "interval_start_end",
+    "interval_left",
+    "temporal_interval_inner",
+    "regex_inner",
+    "regex_left_anti",
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: fuzzy Levenshtein self-join of part names on sf0.001."""
@@ -147,11 +206,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return out.select("name")
         return out.select("name_x", "name_y", F.round("dist", 6).alias("dist"))
 
-    q["string_lv_left"] = lambda s, d: _lv_mode(s, d, "left")
-    q["string_lv_right"] = lambda s, d: _lv_mode(s, d, "right")
+    # left+right and semi+anti are folded into tagged unions so all six
+    # materialization modes fit the driver's 50-row gate without losing a
+    # single mode check (VERDICT r4 next-round #1)
+    q["string_lv_left_right"] = lambda s, d: (
+        _lv_mode(s, d, "left").withColumn("side", F.lit("left"))
+        .unionByName(_lv_mode(s, d, "right").withColumn("side", F.lit("right")))
+    )
     q["string_lv_full"] = lambda s, d: _lv_mode(s, d, "full")
-    q["string_lv_semi"] = lambda s, d: _lv_mode(s, d, "semi")
-    q["string_lv_anti"] = lambda s, d: _lv_mode(s, d, "anti")
+    q["string_lv_semi_anti"] = lambda s, d: (
+        _lv_mode(s, d, "semi").withColumn("mode", F.lit("semi"))
+        .unionByName(_lv_mode(s, d, "anti").withColumn("mode", F.lit("anti")))
+    )
 
     # ---- multi-key string join (reference distance-matrix naming) ---------
     def _multikey(s, d):
@@ -205,38 +271,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temporal_inner"] = _temporal
 
-    # ---- k-D distance join -------------------------------------------------
-    def _dist(s, d):
+    # ---- k-D distance join (both metrics in one tagged row) -----------------
+    def _dist(s, d, metric):
         li = (
             s.read.parquet(f"{d}/lineitem.parquet")
             .select(F.col("l_discount").alias("disc"), F.col("l_tax").alias("tax"))
             .distinct()
         )
         out = distance_join(
-            li, li, by=["disc", "tax"], method="euclidean", max_distance=0.02,
+            li, li, by=["disc", "tax"], method=metric, max_distance=0.02,
             distance_col="dist", suffixes=("_x", "_y"),
         )
         return out.select(
-            "disc_x", "tax_x", "disc_y", "tax_y", F.round("dist", 6).alias("dist")
+            "disc_x", "tax_x", "disc_y", "tax_y", F.round("dist", 6).alias("dist"),
+            F.lit(metric).alias("metric"),
         )
 
-    q["distance_inner"] = _dist
-
-    def _dist_manhattan(s, d):
-        li = (
-            s.read.parquet(f"{d}/lineitem.parquet")
-            .select(F.col("l_discount").alias("disc"), F.col("l_tax").alias("tax"))
-            .distinct()
-        )
-        out = distance_join(
-            li, li, by=["disc", "tax"], method="manhattan", max_distance=0.02,
-            distance_col="dist", suffixes=("_x", "_y"),
-        )
-        return out.select(
-            "disc_x", "tax_x", "disc_y", "tax_y", F.round("dist", 6).alias("dist")
-        )
-
-    q["distance_manhattan_inner"] = _dist_manhattan
+    q["distance_euclid_manhattan"] = lambda s, d: _dist(s, d, "euclidean").unionByName(
+        _dist(s, d, "manhattan")
+    )
 
     # ---- interval joins -----------------------------------------------------
     def _interval_real(s, d):
@@ -302,10 +355,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("s_x", "e_x", "s_y", "e_y")
 
-    q["interval_maxgap_inner"] = lambda s, d: _interval_variant(s, d, maxgap=1)
-    q["interval_minoverlap_inner"] = lambda s, d: _interval_variant(s, d, minoverlap=2)
-    q["interval_start_inner"] = lambda s, d: _interval_variant(s, d, overlap_type="start")
-    q["interval_end_inner"] = lambda s, d: _interval_variant(s, d, overlap_type="end")
+    def _tagged(df, col, val):
+        return df.withColumn(col, F.lit(val))
+
+    q["interval_gap_overlap"] = lambda s, d: (
+        _tagged(_interval_variant(s, d, maxgap=1), "variant", "maxgap")
+        .unionByName(_tagged(_interval_variant(s, d, minoverlap=2), "variant", "minoverlap"))
+    )
+    q["interval_start_end"] = lambda s, d: (
+        _tagged(_interval_variant(s, d, overlap_type="start"), "variant", "start")
+        .unionByName(_tagged(_interval_variant(s, d, overlap_type="end"), "variant", "end"))
+    )
 
     # ---- temporal interval join (Date/timestamp ranges) --------------------
     def _temporal_interval(s, d):
@@ -355,8 +415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("c_custkey", "c_acctbal")
 
-    q["difference_semi"] = lambda s, d: _diff_mode(s, d, "semi")
-    q["difference_anti"] = lambda s, d: _diff_mode(s, d, "anti")
+    q["difference_semi_anti"] = lambda s, d: (
+        _diff_mode(s, d, "semi").withColumn("mode", F.lit("semi"))
+        .unionByName(_diff_mode(s, d, "anti").withColumn("mode", F.lit("anti")))
+    )
 
     def _diff_multikey(s, d):
         li = (
@@ -406,8 +468,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = regex_join(docs, pats, by={"text": "pattern"}, how=how)
         return out.select("doc_id", "pattern") if how == "left" else out.select("doc_id")
 
-    q["regex_left"] = lambda s, d: _regex_mode(s, d, "left")
-    q["regex_anti"] = lambda s, d: _regex_mode(s, d, "anti")
+    q["regex_left_anti"] = lambda s, d: (
+        _regex_mode(s, d, "left").withColumn("mode", F.lit("left"))
+        .unionByName(
+            _regex_mode(s, d, "anti")
+            .withColumn("pattern", F.lit(None).cast("string"))
+            .withColumn("mode", F.lit("anti"))
+        )
+    )
 
     def _temporal_full(s, d):
         ev = s.read.parquet(f"{d}/events.parquet")
@@ -752,7 +820,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_cosine_entities"] = _er_cosine
 
-    return q
+    # ---- registration order IS the correctness-gate topology ----------------
+    # The driver checks the FIRST 50 registered rows. Flagship end-to-end
+    # components (ER, ANN, media, dedup, clustering) register first so any
+    # 50-row prefix covers every component family; the per-family mode and
+    # method rows follow. _QUERY_ORDER is asserted against the built dict so
+    # a key added to one but not the other fails fast at import time.
+    missing = [k for k in _QUERY_ORDER if k not in q]
+    extra = [k for k in q if k not in _QUERY_ORDER]
+    assert not missing and not extra, (missing, extra)
+    assert len(_QUERY_ORDER) <= 50, len(_QUERY_ORDER)
+    return {k: q[k] for k in _QUERY_ORDER}
 
 
 # ---------------------------------------------------------------------------
@@ -851,16 +929,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT name_x, name_y, dist FROM p WHERE dist <= 0.25
     """
 
-    o["string_lv_left"] = f"""
+    o["string_lv_left_right"] = f"""
         SELECT a.name AS name_x, b.name AS name_y,
                round(CAST(CASE WHEN b.name IS NULL THEN NULL
-                    ELSE levenshtein(a.name, b.name) END AS DOUBLE), 6) AS dist
+                    ELSE levenshtein(a.name, b.name) END AS DOUBLE), 6) AS dist,
+               'left' AS side
         FROM {N} a LEFT JOIN {N} b ON levenshtein(a.name, b.name) <= 1
-    """
-    o["string_lv_right"] = f"""
+        UNION ALL
         SELECT a.name AS name_x, b.name AS name_y,
                round(CAST(CASE WHEN a.name IS NULL THEN NULL
-                    ELSE levenshtein(a.name, b.name) END AS DOUBLE), 6) AS dist
+                    ELSE levenshtein(a.name, b.name) END AS DOUBLE), 6) AS dist,
+               'right' AS side
         FROM {N} a RIGHT JOIN {N} b ON levenshtein(a.name, b.name) <= 1
     """
     o["string_multikey_inner"] = """
@@ -888,12 +967,11 @@ def oracle_sql() -> dict[str, str]:
                     ELSE levenshtein(a.name, b.name) END AS DOUBLE), 6) AS dist
         FROM {N} a FULL JOIN {N} b ON levenshtein(a.name, b.name) <= 1
     """
-    o["string_lv_semi"] = f"""
-        SELECT a.name FROM {N} a
+    o["string_lv_semi_anti"] = f"""
+        SELECT a.name, 'semi' AS mode FROM {N} a
         WHERE EXISTS (SELECT 1 FROM {N} b WHERE levenshtein(a.name, b.name) <= 1)
-    """
-    o["string_lv_anti"] = f"""
-        SELECT a.name FROM {N} a
+        UNION ALL
+        SELECT a.name, 'anti' AS mode FROM {N} a
         WHERE NOT EXISTS (SELECT 1 FROM {N} b WHERE levenshtein(a.name, b.name) <= 1)
     """
 
@@ -910,13 +988,12 @@ def oracle_sql() -> dict[str, str]:
         FROM customer c LEFT JOIN supplier s
           ON abs(c.c_acctbal - s.s_acctbal) <= 0.5 + {eps}
     """
-    o["difference_semi"] = f"""
-        SELECT c.c_custkey, c.c_acctbal FROM customer c
+    o["difference_semi_anti"] = f"""
+        SELECT c.c_custkey, c.c_acctbal, 'semi' AS mode FROM customer c
         WHERE EXISTS (SELECT 1 FROM supplier s
                       WHERE abs(c.c_acctbal - s.s_acctbal) <= 0.5 + {eps})
-    """
-    o["difference_anti"] = f"""
-        SELECT c.c_custkey, c.c_acctbal FROM customer c
+        UNION ALL
+        SELECT c.c_custkey, c.c_acctbal, 'anti' AS mode FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM supplier s
                           WHERE abs(c.c_acctbal - s.s_acctbal) <= 0.5 + {eps})
     """
@@ -935,14 +1012,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.k, r.k2
         FROM t LEFT JOIN r ON t.s <= r.e2 AND r.s2 <= t.e
     """
-    o["regex_left"] = """
-        SELECT d.doc_id, p.pattern
+    o["regex_left_anti"] = """
+        SELECT d.doc_id, p.pattern, 'left' AS mode
         FROM documents d
         LEFT JOIN (VALUES ('^key'), ('value$'), ('spark'), ('agg.*sort')) p(pattern)
           ON regexp_matches(d.text, p.pattern)
-    """
-    o["regex_anti"] = """
-        SELECT d.doc_id FROM documents d
+        UNION ALL
+        SELECT d.doc_id, CAST(NULL AS VARCHAR) AS pattern, 'anti' AS mode
+        FROM documents d
         WHERE NOT EXISTS (
           SELECT 1 FROM (VALUES ('^key'), ('value$'), ('spark'), ('agg.*sort')) p(pattern)
           WHERE regexp_matches(d.text, p.pattern))
@@ -962,19 +1039,19 @@ def oracle_sql() -> dict[str, str]:
           AND a.event_id < b.event_id
           AND abs(epoch(a.ts) - epoch(b.ts)) <= 600 + {eps}
     """
-    o["distance_inner"] = """
+    o["distance_euclid_manhattan"] = """
         WITH t AS (SELECT DISTINCT l_discount AS disc, l_tax AS tax FROM lineitem)
         SELECT a.disc AS disc_x, a.tax AS tax_x, b.disc AS disc_y, b.tax AS tax_y,
                round(sqrt((a.disc - b.disc) * (a.disc - b.disc)
-                        + (a.tax - b.tax) * (a.tax - b.tax)), 6) AS dist
+                        + (a.tax - b.tax) * (a.tax - b.tax)), 6) AS dist,
+               'euclidean' AS metric
         FROM t a, t b
         WHERE sqrt((a.disc - b.disc) * (a.disc - b.disc)
                  + (a.tax - b.tax) * (a.tax - b.tax)) <= 0.02
-    """
-    o["distance_manhattan_inner"] = """
-        WITH t AS (SELECT DISTINCT l_discount AS disc, l_tax AS tax FROM lineitem)
+        UNION ALL
         SELECT a.disc AS disc_x, a.tax AS tax_x, b.disc AS disc_y, b.tax AS tax_y,
-               round(abs(a.disc - b.disc) + abs(a.tax - b.tax), 6) AS dist
+               round(abs(a.disc - b.disc) + abs(a.tax - b.tax), 6) AS dist,
+               'manhattan' AS metric
         FROM t a, t b
         WHERE abs(a.disc - b.disc) + abs(a.tax - b.tax) <= 0.02
     """
@@ -984,24 +1061,20 @@ def oracle_sql() -> dict[str, str]:
         "WHEN b.e < a.s THEN a.s - b.e - 1 ELSE 0 END)"
     )
     _INT_OVL = "greatest(least(a.e, b.e) - greatest(a.s, b.s) + 1, 0)"
-    o["interval_maxgap_inner"] = f"""
+    o["interval_gap_overlap"] = f"""
         WITH t AS ({_INT_T})
-        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y
+        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y, 'maxgap' AS variant
         FROM t a, t b WHERE {_INT_GAP} <= 1
-    """
-    o["interval_minoverlap_inner"] = f"""
-        WITH t AS ({_INT_T})
-        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y
+        UNION ALL
+        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y, 'minoverlap' AS variant
         FROM t a, t b WHERE {_INT_GAP} <= 0 AND {_INT_OVL} >= 2
     """
-    o["interval_start_inner"] = f"""
+    o["interval_start_end"] = f"""
         WITH t AS ({_INT_T})
-        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y
+        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y, 'start' AS variant
         FROM t a, t b WHERE {_INT_GAP} <= 0 AND abs(a.s - b.s) <= 0
-    """
-    o["interval_end_inner"] = f"""
-        WITH t AS ({_INT_T})
-        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y
+        UNION ALL
+        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y, 'end' AS variant
         FROM t a, t b WHERE {_INT_GAP} <= 0 AND abs(a.e - b.e) <= 0
     """
     o["temporal_interval_inner"] = """

@@ -19,6 +19,47 @@ from pyspark.sql.types import LongType
 
 _log = logging.getLogger("fozzie_spark.ann")
 
+#: assumed bytes/row for plan-stats row estimation: embedding rows are
+#: dominated by the vector payload (e.g. 64 x float64 + id ≈ 550 B).
+#: Deliberately mid-range — only CONFIDENT extremes (4x margin either way)
+#: skip the count job; the gray zone still counts.
+_EST_ROW_BYTES = 512
+
+#: memoized routing counts per plan semanticHash (same staleness caveat as
+#: blocking's prefix-decision cache: in-place mutation of an external path)
+_COUNT_CACHE: dict[int, int] = {}
+_COUNT_CACHE_MAX = 4096
+
+
+def _exceeds_rows(df: DataFrame, threshold: int) -> bool:
+    """True iff `df` has more than `threshold` rows — resolved WITHOUT an
+    eager count whenever optimizer plan statistics settle it: est_rows =
+    sizeInBytes / _EST_ROW_BYTES routes confident extremes (>4x / <1/4 of
+    the threshold) immediately; only the gray zone (and unknown-stats
+    plans, e.g. LogicalRDD) pays a count job, memoized per plan."""
+    from fozzie_spark.blocking import _plan_size_bytes
+
+    sz = _plan_size_bytes(df)
+    if sz is not None and threshold > 0:
+        est = sz / _EST_ROW_BYTES
+        if est > 4.0 * threshold:
+            return True
+        if est < threshold / 4.0:
+            return False
+    try:
+        key = df.semanticHash()
+    except Exception:
+        key = None
+    if key is not None and key in _COUNT_CACHE:
+        n = _COUNT_CACHE[key]
+    else:
+        n = df.count()
+        if key is not None:
+            if len(_COUNT_CACHE) >= _COUNT_CACHE_MAX:
+                _COUNT_CACHE.clear()
+            _COUNT_CACHE[key] = n
+    return n > threshold
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -52,22 +93,25 @@ def cosine_pairs(
     - "lsh": hyperplane-LSH bucket join + exact cosine verification —
       precision 1.0, recall < 1 (pinned >= 0.95 at min_cosine 0.4 with the
       default 16 planes / 8 bands in tests) — the 100 TB path.
-    - "auto" (default): counts the input (NOTE: one eager job at
-      plan-construction time) and switches to LSH above `auto_threshold`
-      rows — for two-table calls, when EITHER side exceeds it — where the
-      exact BNLJ becomes a scale-killer; below it, exact. The routing
-      decision is logged (logger "fozzie_spark.ann") so the recall change
-      is visible; pass strategy="exact" to opt out.
+    - "auto" (default): switches to LSH above `auto_threshold` rows — for
+      two-table calls, when EITHER side exceeds it — where the exact BNLJ
+      becomes a scale-killer; below it, exact. Sizing is plan-stats-first
+      (`_exceeds_rows`): inputs whose optimizer statistics are confidently
+      above/below the threshold route WITHOUT any job; only gray-zone or
+      unknown-stats plans pay a (memoized) count. The routing decision is
+      logged (logger "fozzie_spark.ann") so the recall change is visible;
+      pass strategy="exact" to opt out.
     """
     if strategy not in ("exact", "lsh", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
-        n = df.count()
-        n2 = other.count() if other is not None else n
-        strategy = "lsh" if max(n, n2) > auto_threshold else "exact"
+        big = _exceeds_rows(df, auto_threshold) or (
+            other is not None and _exceeds_rows(other, auto_threshold)
+        )
+        strategy = "lsh" if big else "exact"
         _log.warning(
-            "cosine_pairs auto routed to %s (rows=%d%s, threshold=%d)%s",
-            strategy, n, "" if other is None else f" x {n2}", auto_threshold,
+            "cosine_pairs auto routed to %s (threshold=%d rows)%s",
+            strategy, auto_threshold,
             " — approximate results (recall < 1)" if strategy == "lsh" else "",
         )
     if strategy == "lsh":
@@ -115,10 +159,14 @@ def cosine_topk(
     `multiprobe` (default on), queries whose buckets yielded fewer than k
     candidates take a second pass probing every band hash at Hamming
     distance 1 (Lv et al., multi-probe LSH, VLDB'07) — the starved-query
-    re-probe removes the silent under-fill of sparse buckets while
-    well-filled queries never pay the extra join volume.
-    strategy="auto" (default): counts the probe side (one eager job at
-    plan-construction time) and routes to LSH above `auto_threshold`
+    re-probe MITIGATES the silent under-fill of sparse buckets while
+    well-filled queries never pay the extra join volume. One distance-1
+    pass is no fill guarantee: a query whose entire Hamming-1 ball is
+    sparse can still return fewer than k rows (raise bands, or lower
+    n_planes/bands ratio, when that matters).
+    strategy="auto" (default): sizes the probe side plan-stats-first
+    (`_exceeds_rows` — a count job only for gray-zone or unknown-stats
+    plans, memoized per plan) and routes to LSH above `auto_threshold`
     probes — a corpus-scale probe set would otherwise silently plan a
     probes x corpus crossJoin. The decision is logged
     (logger "fozzie_spark.ann"); pass strategy="exact" to opt out.
@@ -128,11 +176,10 @@ def cosine_topk(
     if strategy not in ("exact", "lsh", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
-        nq = queries.count()
-        strategy = "lsh" if nq > auto_threshold else "exact"
+        strategy = "lsh" if _exceeds_rows(queries, auto_threshold) else "exact"
         _log.warning(
-            "cosine_topk auto routed to %s (probes=%d, threshold=%d)%s",
-            strategy, nq, auto_threshold,
+            "cosine_topk auto routed to %s (probe threshold=%d)%s",
+            strategy, auto_threshold,
             " — approximate results (recall < 1)" if strategy == "lsh" else "",
         )
 

@@ -45,6 +45,16 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+#: memoized auto-route decisions keyed by (left, right) plan semanticHash —
+#: long chains of small joins over the SAME inputs (streaming micro-batches,
+#: multi-method pytest suites) would otherwise pay one count job per call.
+#: semanticHash fingerprints the logical plan, so in-place mutation of the
+#: same external path is the only staleness case (same caveat the resume
+#: fingerprint in checkpoint.py documents).
+_PREFIX_DECISION_CACHE: dict[tuple, bool] = {}
+_PREFIX_CACHE_MAX = 4096
+
+
 def use_prefix_filter(lkeys: DataFrame, rkeys: DataFrame) -> bool:
     """Resolve prefix_mode='auto': True => run the Ed-Join/PPJoin prefix
     machinery, False => the share-any-gram join is already cheap enough.
@@ -54,16 +64,35 @@ def use_prefix_filter(lkeys: DataFrame, rkeys: DataFrame) -> bool:
     path WITHOUT running a job; small-by-stats plans pay two cheap count
     jobs, and unknown-stats plans (e.g. LogicalRDD from createDataFrame —
     driver-resident, so counting is trivial) also resolve by counting.
+    Resolved decisions are memoized per input-plan pair, so repeated joins
+    over the same inputs count once.
     """
+    try:
+        # thresholds are part of the key: a decision is only reusable under
+        # the same gate configuration
+        cache_key = (
+            lkeys.semanticHash(), rkeys.semanticHash(),
+            PREFIX_AUTO_KEY_THRESHOLD, PREFIX_AUTO_BYTES_THRESHOLD,
+        )
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _PREFIX_DECISION_CACHE:
+        return _PREFIX_DECISION_CACHE[cache_key]
     sizes = [_plan_size_bytes(df) for df in (lkeys, rkeys)]
     if any(sz is not None and sz > PREFIX_AUTO_BYTES_THRESHOLD for sz in sizes):
-        return True
-    total = (
-        lkeys.select(F.lit(1).alias("__fz_one"))
-        .unionByName(rkeys.select(F.lit(1).alias("__fz_one")))
-        .count()
-    )  # one job, not two
-    return total >= PREFIX_AUTO_KEY_THRESHOLD
+        decision = True
+    else:
+        total = (
+            lkeys.select(F.lit(1).alias("__fz_one"))
+            .unionByName(rkeys.select(F.lit(1).alias("__fz_one")))
+            .count()
+        )  # one job, not two
+        decision = total >= PREFIX_AUTO_KEY_THRESHOLD
+    if cache_key is not None:
+        if len(_PREFIX_DECISION_CACHE) >= _PREFIX_CACHE_MAX:
+            _PREFIX_DECISION_CACHE.clear()
+        _PREFIX_DECISION_CACHE[cache_key] = decision
+    return decision
 
 
 def qgrams_col(col: str, q: int):
@@ -378,6 +407,170 @@ def ngram_candidates(
         # jaccard.rs:118-177 applied to cosine)
         return pairs.select(lkey, rkey)
     return _cosine_prefix_candidates(lkeys, rkeys, lkey, rkey, max_distance, q)
+
+
+def qgram_candidates_ids(
+    prof: DataFrame,
+    id_col: str,
+    max_distance: float,
+    prefix_mode: str = "prefix",
+) -> DataFrame:
+    """SELF-join qgram-distance candidates over a precomputed profile frame,
+    shuffling only fixed-width ids + grams — never key strings (the
+    er_pipeline 100-TB path: document keys are kilobytes, ids 16 bytes).
+
+    `prof` columns: `id_col` (orderable; er passes the 128-bit kid struct),
+    `__fz_gs` (array of DISTINCT q-grams), `__fz_tc` (total multiset gram
+    count). Same theorems as `ngram_candidates`'s qgram branch: each
+    distinct gram missing from the other side contributes >= 1 to the
+    distance, so dist <= tau forces the rarity-ordered tau+1 prefixes to
+    intersect (lossless); no-shared-gram pairs (dist = tc1 + tc2) are
+    covered by the small-profile block; |tc1 - tc2| <= tau prunes after.
+
+    Returns distinct (id_col, id_col+"2") pairs with id < id2.
+    """
+    tau = max_distance
+    id2 = id_col + "2"
+    counts = prof.select(id_col, F.col("__fz_tc"))
+    zb = F.floor(F.col("__fz_tc") / F.lit(int(tau) + 1))
+    small_side = counts.filter(F.col("__fz_tc") <= tau).select(
+        id_col, "__fz_tc", zb.alias("__fz_zb")
+    )
+    small = (
+        small_side.join(
+            small_side.select(
+                F.col(id_col).alias(id2), F.col("__fz_tc").alias("__fz_tc2"), "__fz_zb"
+            ),
+            "__fz_zb",
+        )
+        .filter((F.col(id_col) < F.col(id2)) & (F.col("__fz_tc") + F.col("__fz_tc2") <= tau))
+        .select(id_col, id2)
+    )
+    tok = prof.select(id_col, F.explode("__fz_gs").alias("__fz_g"))
+    if prefix_mode == "simple":
+        lp = tok
+    else:
+        gram_df = tok.groupBy("__fz_g").agg(F.count(F.lit(1)).alias("__fz_df"))
+        agg = (
+            tok.join(gram_df, "__fz_g")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.struct("__fz_df", "__fz_g"))).alias("__fz_s"))
+        )
+        plen = F.least(F.size("__fz_s"), F.lit(int(tau) + 1)).cast("int")
+        lp = agg.select(
+            id_col, F.explode(F.slice("__fz_s", 1, plen)).alias("__fz_e")
+        ).select(id_col, F.col("__fz_e.__fz_g").alias("__fz_g"))
+    cand = (
+        lp.join(lp.select(F.col(id_col).alias(id2), "__fz_g"), "__fz_g")
+        .where(F.col(id_col) < F.col(id2))
+        .select(id_col, id2)
+        .distinct()
+    )
+    sized = (
+        cand.join(counts, id_col)
+        .join(
+            counts.select(F.col(id_col).alias(id2), F.col("__fz_tc").alias("__fz_tc2")),
+            id2,
+        )
+        .filter(F.abs(F.col("__fz_tc") - F.col("__fz_tc2")) <= tau)
+        .select(id_col, id2)
+    )
+    return sized.unionByName(small).distinct()
+
+
+def cosine_candidates_ids(
+    prof: DataFrame,
+    id_col: str,
+    max_distance: float,
+    prefix_mode: str = "prefix",
+) -> DataFrame:
+    """SELF-join multiset-cosine candidates over a precomputed profile
+    frame — the id-keyed twin of `_cosine_prefix_candidates` (weighted
+    AllPairs, Bayardo WWW'07); shuffles ids + grams, never key strings.
+
+    `prof` columns: `id_col` (orderable), `__fz_cm` (map gram -> multiset
+    count). Self-join semantics: probe side == index side == all keys, so
+    mw(g) = max over ALL keys of the normalized weight and the unindex
+    bounds hold for every ordered direction; all-tokens x indexed-suffix
+    with id != id2 is a lossless superset (each true pair is caught in
+    both directions). Empty profiles have no tokens and cosine dist 1.0 —
+    unreachable at tau < 1 (callers refuse tau >= 1).
+
+    Returns distinct (id_col, id_col+"2") pairs with id < id2.
+    """
+    if max_distance >= 1.0:
+        raise ValueError("cosine_candidates_ids requires max_distance < 1")
+    id2 = id_col + "2"
+    nrm = F.sqrt(
+        F.aggregate(
+            F.map_values("__fz_cm").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, c: acc + c * c,
+        )
+    )
+    tok = (
+        prof.select(id_col, F.explode("__fz_cm").alias("__fz_g", "__fz_c"), nrm.alias("__fz_nrm"))
+        .select(id_col, "__fz_g", (F.col("__fz_c") / F.col("__fz_nrm")).alias("__fz_w"))
+    )
+    if prefix_mode == "simple":
+        indexed = tok.select(F.col(id_col).alias(id2), "__fz_g")
+    else:
+        t_eff = (1.0 - float(max_distance)) - 1e-9
+        t_sq = t_eff * t_eff
+        stats = tok.groupBy("__fz_g").agg(
+            F.max("__fz_w").alias("__fz_mw"), F.count(F.lit(1)).alias("__fz_df")
+        )
+        rj = tok.join(stats, "__fz_g").select(
+            id_col,
+            "__fz_g",
+            (F.col("__fz_w") * F.col("__fz_mw")).alias("__fz_b"),
+            (F.col("__fz_w") * F.col("__fz_w")).alias("__fz_sq"),
+            "__fz_df",
+        )
+        agg = rj.groupBy(id_col).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("__fz_b") / (F.col("__fz_df") + 1)).alias("r"),
+                        F.col("__fz_b").alias("b"),
+                        F.col("__fz_sq").alias("sq"),
+                        F.col("__fz_g").alias("g"),
+                    )
+                )
+            ).alias("__fz_s")
+        )
+
+        def _cums(field):
+            return F.aggregate(
+                F.col("__fz_s"),
+                F.array().cast("array<double>"),
+                lambda acc, x: F.concat(
+                    acc,
+                    F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + x[field]),
+                ),
+            )
+
+        heads_ok = F.zip_with(
+            _cums("b"),
+            _cums("sq"),
+            lambda cb, cq: (cb < F.lit(t_eff)) | (cq < F.lit(t_sq)),
+        )
+        p = F.size(F.filter(heads_ok, lambda v: v))
+        indexed = agg.select(
+            F.col(id_col).alias(id2),
+            F.explode(
+                F.slice("__fz_s", p + 1, F.greatest(F.size("__fz_s") - p, F.lit(0)))
+            ).alias("__fz_e"),
+        ).select(id2, F.col("__fz_e.g").alias("__fz_g"))
+    return (
+        tok.select(id_col, "__fz_g")
+        .join(indexed, "__fz_g")
+        .where(F.col(id_col) != F.col(id2))
+        .select(
+            F.least(id_col, id2).alias(id_col), F.greatest(id_col, id2).alias(id2)
+        )
+        .distinct()
+    )
 
 
 def _cosine_prefix_candidates(

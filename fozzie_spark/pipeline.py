@@ -208,8 +208,10 @@ def er_pipeline(
         probe died at spark.driver.maxResultSize with ~3.7M keys that were
         comfortably under the old 5M-row gate."""
         if not _uniq_stats:
+            # octet_length, not length: the gate must measure UTF-8 BYTES —
+            # char counts under-estimate non-ASCII keys by up to 4x
             row = uniq.agg(
-                F.count(F.lit(1)), F.sum(F.length("key"))
+                F.count(F.lit(1)), F.sum(F.octet_length("key"))
             ).first()
             _uniq_stats.append((int(row[0]), int(row[1] or 0)))
         return _uniq_stats[0]

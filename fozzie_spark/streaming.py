@@ -197,19 +197,50 @@ def _parquet_fragments(spark, path: str) -> int:
 
 def _compact_parquet(spark, path: str, target_files: int):
     """Rewrite a parquet dir down to `target_files` fragments: write to a
-    sibling tmp dir, then swap (delete + rename). The swap is not atomic
-    against concurrent readers — callers run it inside foreachBatch, where
-    the streaming trigger serializes access to the table."""
+    sibling tmp dir, then swap via RENAME-ASIDE (live -> __compact_old,
+    tmp -> live, delete __compact_old). Unlike delete-then-rename, a crash
+    between the two renames leaves the data recoverable on disk
+    (`_recover_compaction` restores it on the next batch); each rename's
+    boolean return is checked so a failed swap raises instead of silently
+    losing the table. The swap is still not atomic against concurrent
+    readers — callers run it inside foreachBatch, where the streaming
+    trigger serializes access to the table."""
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
     spark.read.parquet(path).coalesce(max(target_files, 1)).write.mode(
         "overwrite"
     ).parquet(tmp)
-    p, pt = jvm.org.apache.hadoop.fs.Path(path), jvm.org.apache.hadoop.fs.Path(tmp)
+    hp = jvm.org.apache.hadoop.fs.Path
+    p, pt, po = hp(path), hp(tmp), hp(old)
     fs = p.getFileSystem(hconf)
-    fs.delete(p, True)
-    fs.rename(pt, p)
+    fs.delete(po, True)  # stale aside dir from an earlier crashed swap
+    if not fs.rename(p, po):
+        raise IOError(f"compaction swap failed: cannot move {path} aside")
+    if not fs.rename(pt, p):
+        fs.rename(po, p)  # roll back: restore the live table
+        raise IOError(f"compaction swap failed: cannot move {tmp} into place")
+    fs.delete(po, True)
+
+
+def _recover_compaction(spark, path: str) -> None:
+    """Crash recovery for `_compact_parquet`: if the live dir is absent but
+    the rename-aside dir survives (crash between the two renames), restore
+    it before anyone reads the table."""
+    jvm = spark.sparkContext._jvm
+    hp = jvm.org.apache.hadoop.fs.Path
+    p, po = hp(path), hp(path.rstrip("/") + "__compact_old")
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p) and fs.exists(po):
+        fs.rename(po, p)
+
+
+def _path_exists(spark, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
 
 
 def run_incremental_match(
@@ -245,9 +276,14 @@ def run_incremental_match(
     spark = stream.sparkSession
 
     def _process(batch_df: DataFrame, batch_id: int):
-        try:
+        # a crash mid-compaction may have left the table renamed aside;
+        # restore it BEFORE the existence check — only a genuinely
+        # never-written table may start empty (a bare read-with-fallback
+        # here would silently mint new entity ids for every known key)
+        _recover_compaction(spark, entity_table_path)
+        if _path_exists(spark, entity_table_path):
             entities = spark.read.parquet(entity_table_path)
-        except Exception:
+        else:
             entities = spark.createDataFrame([], "entity_key string, entity_id bigint")
         matched = fuzzy_string_join(
             batch_df,
@@ -258,6 +294,9 @@ def run_incremental_match(
             max_distance=max_distance,
             q=q,
             suffixes=("", "_e"),
+            # micro-batches are small by construction — skip the auto-sizing
+            # count job the 'auto' route would otherwise pay per batch
+            prefix_mode="simple",
         )
         resolved = matched.withColumn(
             "entity_id",

@@ -358,3 +358,32 @@ def test_plans_have_no_cross_joins(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, tag
         assert "BroadcastNestedLoopJoin" not in plan, tag
+
+
+def test_prefix_auto_decision_cached(spark, monkeypatch):
+    # a chain of auto-mode joins over the SAME inputs resolves the route
+    # ONCE: the decision is memoized per (plan, plan, thresholds) key. After
+    # the first resolution, re-resolution is forced to blow up — any
+    # cache miss on the later calls would raise.
+    from fozzie_spark.joins import fuzzy_string_join
+
+    blocking._PREFIX_DECISION_CACHE.clear()
+    names = kdf(spark, [f"name{i:03d}" for i in range(40)], "name")
+    # a full auto-mode join chain resolves the route once: the internal
+    # key projections hash identically across calls, so 3 joins -> 1 entry
+    for _ in range(3):
+        assert fuzzy_string_join(
+            names, names, by="name", method="lv", max_distance=1
+        ).count() >= 40
+    assert len(blocking._PREFIX_DECISION_CACHE) == 1
+
+    blocking._PREFIX_DECISION_CACHE.clear()
+    assert blocking.use_prefix_filter(names, names) is False
+    assert len(blocking._PREFIX_DECISION_CACHE) == 1
+
+    def _boom(df):
+        raise AssertionError("decision was re-resolved instead of cache-hit")
+
+    monkeypatch.setattr(blocking, "_plan_size_bytes", _boom)
+    for _ in range(9):
+        assert blocking.use_prefix_filter(names, names) is False

@@ -257,3 +257,44 @@ def test_sessionize_max_session_cap(spark, tmp_path):
     # 8 events 2-min apart, 10-min cap: closes after the first event past
     # +10min, i.e. sessions of 6 events (0..10 min) then the rest
     assert u7 and u7[0][1] == 6
+
+
+def test_compaction_swap_is_crash_recoverable(spark, tmp_path):
+    # simulate a driver crash between _compact_parquet's two renames: the
+    # live dir is absent but the rename-aside dir holds the data; the next
+    # batch's _recover_compaction must restore it instead of silently
+    # starting from an empty entity table
+    import shutil
+
+    live = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [("k1", 1), ("k2", 2)], "entity_key string, entity_id bigint"
+    ).write.parquet(live)
+    shutil.move(live, live + "__compact_old")  # crash window state
+    assert not os.path.exists(live)
+    streaming._recover_compaction(spark, live)
+    assert os.path.exists(live)
+    got = {(r["entity_key"], r["entity_id"]) for r in spark.read.parquet(live).collect()}
+    assert got == {("k1", 1), ("k2", 2)}
+    # idempotent when nothing to recover
+    streaming._recover_compaction(spark, live)
+    assert {(r["entity_key"], r["entity_id"]) for r in spark.read.parquet(live).collect()} == got
+
+
+def test_compact_parquet_rename_aside(spark, tmp_path):
+    # normal-path compaction: fragments drop, rows identical, no aside dir
+    # left behind
+    from fozzie_spark.streaming import _compact_parquet, _parquet_fragments
+
+    p = str(tmp_path / "frag")
+    for i in range(6):
+        spark.createDataFrame([(f"k{i}", i)], "entity_key string, entity_id bigint") \
+            .coalesce(1).write.mode("append").parquet(p)
+    assert _parquet_fragments(spark, p) >= 6
+    before = {(r["entity_key"], r["entity_id"]) for r in spark.read.parquet(p).collect()}
+    _compact_parquet(spark, p, 2)
+    assert _parquet_fragments(spark, p) <= 2
+    after = {(r["entity_key"], r["entity_id"]) for r in spark.read.parquet(p).collect()}
+    assert after == before
+    assert not os.path.exists(p + "__compact_old")
+    assert not os.path.exists(p + "__compact_tmp")
