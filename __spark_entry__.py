@@ -96,6 +96,7 @@ _QUERY_ORDER = [
     # flagship end-to-end components
     "er_entities",
     "er_cosine_entities",
+    "er_jw_entities",
     "cosine_pairs",
     "cosine_topk",
     "lsh_cosine_pairs",
@@ -820,6 +821,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_cosine_entities"] = _er_cosine
 
+    def _er_jw(s, d):
+        # the jaro/jw ER path (provable-regime (char, occurrence)-token
+        # prefix blocking -> Arrow jw scoring -> CC). prefix_weight=0 makes
+        # jw == jaro, so DuckDB's jaro_similarity re-scores every sidecar'd
+        # edge independently (any false-positive edge or wrong threshold
+        # breaks the match) and clustering is re-derived with a recursive
+        # CTE — mirrors er_cosine_entities (__spark_entry__ r4).
+        import tempfile
+
+        from pyspark.sql import Window
+
+        from fozzie_spark.pipeline import er_pipeline
+        from fozzie_spark.synth import synth_documents
+
+        docs = synth_documents(s, 300, seed=42)
+        out = er_pipeline(
+            s, docs, checkpoint_dir=tempfile.mkdtemp(prefix="fz_erjw_"),
+            method="jw", max_distance=0.25, prefix_weight=0.0, resume=False,
+        )
+        keys = out["keys"]
+        keys.select("doc_id", "key").coalesce(1).write.mode("overwrite").parquet(
+            f"{_SIDECAR}/er_jw_keys"
+        )
+        uniq = keys.select("kid", "key").distinct()
+        (
+            out["edges"]
+            .join(uniq.select("kid", F.col("key").alias("key1")), "kid")
+            .join(
+                uniq.select(F.col("kid").alias("kid2"), F.col("key").alias("key2")), "kid2"
+            )
+            .select("key1", "key2")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{_SIDECAR}/er_jw_edges")
+        )
+        ents = out["entities"].select("doc_id", "entity_id")
+        w = Window.partitionBy("entity_id")
+        return ents.select("doc_id", F.min("doc_id").over(w).alias("entity_rep"))
+
+    q["er_jw_entities"] = _er_jw
+
     # ---- registration order IS the correctness-gate topology ----------------
     # The driver checks the FIRST 50 registered rows. Flagship end-to-end
     # components (ER, ANN, media, dedup, clustering) register first so any
@@ -1365,6 +1407,32 @@ def oracle_sql() -> dict[str, str]:
                          u -> len(list_filter({gk2}, x -> x = u))
                             * len(list_filter({gk2}, x -> x = u)))) AS DOUBLE)))
                 END <= 0.25
+        ),
+        und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        reach(a, b) AS (
+          SELECT a, b FROM und
+          UNION
+          SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        ),
+        comp AS (SELECT a AS k, least(a, min(b)) AS c FROM reach GROUP BY a),
+        keyed AS (
+          SELECT d.doc_id, coalesce(c.c, d.key) AS comp
+          FROM docs d LEFT JOIN comp c ON c.k = d.key
+        )
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY comp) AS entity_rep FROM keyed
+    """
+    o["er_jw_entities"] = f"""
+        WITH RECURSIVE
+        docs AS (SELECT * FROM read_parquet('{_SIDECAR}/er_jw_keys/*.parquet')),
+        raw_e AS (SELECT key1, key2
+                  FROM read_parquet('{_SIDECAR}/er_jw_edges/*.parquet')),
+        -- precision gate: every emitted edge must re-score within tau in
+        -- DuckDB's independent jaro implementation (jw with prefix_weight 0
+        -- IS jaro); a false edge changes the re-derived clustering and
+        -- breaks the hash match
+        e AS (
+          SELECT key1 AS a, key2 AS b FROM raw_e
+          WHERE 1.0 - jaro_similarity(key1, key2) <= 0.25
         ),
         und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
         reach(a, b) AS (

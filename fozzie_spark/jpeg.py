@@ -1,0 +1,321 @@
+"""Pure-stdlib baseline JPEG decoder (SOF0/SOF1, Huffman, 8-bit).
+
+Removes the PIL runtime dependency for the overwhelmingly common JPEG
+variant: baseline sequential DCT with Huffman entropy coding — what phone
+cameras, web encoders, and libjpeg default output all emit. Supported:
+
+- 1-component (grayscale) and 3-component (YCbCr) frames
+- arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 chroma subsampling)
+- 8- and 16-bit quantization tables, multiple DQT/DHT segments
+- restart markers (DRI) with DC-predictor + bit-alignment reset
+- byte stuffing (FF 00) in the entropy stream
+
+NOT supported (raise NotImplementedError so `media._decode_bytes` can fall
+back to PIL when it exists): progressive (SOF2), lossless/hierarchical
+SOFs, arithmetic coding, 12-bit precision.
+
+The per-block Huffman walk is a Python bit reader — fine for the feature
+path's thumbnails (decode cost is per-image, Arrow-batched across the
+cluster via mapInPandas); a production cluster image with pillow installed
+still routes non-baseline files there.
+
+Reference for this engine's media surface: the reference repo has no media
+decode at all — this extends the north-rule interleaved-document model
+(media spans as opaque binary + typed metadata).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: zigzag scan order: natural (row-major) position of each scan index
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_SOF_UNSUPPORTED = {
+    0xC2: "progressive",
+    0xC3: "lossless",
+    0xC5: "differential sequential",
+    0xC6: "differential progressive",
+    0xC7: "differential lossless",
+    0xC9: "arithmetic sequential",
+    0xCA: "arithmetic progressive",
+    0xCB: "arithmetic lossless",
+    0xCD: "differential arithmetic sequential",
+    0xCE: "differential arithmetic progressive",
+    0xCF: "differential arithmetic lossless",
+}
+
+_IDCT_M = None
+
+
+def _idct_mat() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix M[u, x] = c(u)/2 cos((2x+1)uπ/16);
+    spatial = M.T @ coeffs @ M (coeffs indexed [vertical, horizontal])."""
+    global _IDCT_M
+    if _IDCT_M is None:
+        x = np.arange(8)
+        m = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+        m[0] *= 1.0 / np.sqrt(2.0)
+        _IDCT_M = m
+    return _IDCT_M
+
+
+def build_huffman(counts, symbols) -> dict:
+    """Canonical JPEG Huffman table: {(length, code) -> symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _Bits:
+    """MSB-first bit reader over one entropy-coded segment (already
+    unstuffed); reads past the end return 0 bits (spec-sanctioned pad)."""
+
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.n = len(data) * 8
+
+    def read1(self) -> int:
+        if self.pos >= self.n:
+            self.pos += 1
+            return 0
+        b = self.data[self.pos >> 3]
+        bit = (b >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def read(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read1()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read1()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude extension (spec F.12): top bit 0 => negative."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded segments after SOS, split at restart markers, with
+    FF 00 byte stuffing removed; stops at any other marker (EOI/next SOS)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_block(bits: _Bits, dc_tbl: dict, ac_tbl: dict, pred: int) -> tuple[int, np.ndarray]:
+    """One 8x8 block -> (new DC predictor, zigzag-order int coefficients)."""
+    t = bits.huff(dc_tbl)
+    dc = pred + (_extend(bits.read(t), t) if t else 0)
+    zz = np.zeros(64, dtype=np.int32)
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = bits.huff(ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            break
+        zz[k] = _extend(bits.read(s), s)
+        k += 1
+    return dc, zz
+
+
+def decode_baseline_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 array (h, w) grayscale or (h, w, 3) RGB."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    while i < n - 1:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        i += 2
+        if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+            continue  # fill bytes, TEM, RSTn, SOI/EOI — no payload
+        (ln,) = struct.unpack(">H", data[i : i + 2])
+        seg = data[i + 2 : i + ln]
+        if marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG variant not supported by the stdlib decoder: "
+                f"{_SOF_UNSUPPORTED[marker]} (SOF{marker - 0xC0})"
+            )
+        if marker == 0xDB:  # DQT (tables stored in zigzag order)
+            pos = 0
+            while pos < len(seg):
+                pq, tq = seg[pos] >> 4, seg[pos] & 15
+                pos += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg, np.uint8, 64, pos).astype(np.int32)
+                    pos += 64
+                else:
+                    qt[tq] = np.frombuffer(seg, ">u2", 64, pos).astype(np.int32)
+                    pos += 128
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} (only 8-bit)")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = (h, w, comps)
+        elif marker == 0xC4:  # DHT
+            pos = 0
+            while pos < len(seg):
+                tc, th = seg[pos] >> 4, seg[pos] & 15
+                pos += 1
+                counts = list(seg[pos : pos + 16])
+                pos += 16
+                nsym = sum(counts)
+                syms = list(seg[pos : pos + nsym])
+                pos += nsym
+                (huff_dc if tc == 0 else huff_ac)[th] = build_huffman(counts, syms)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — decode the scan and return
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cs, t = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cs] = (t >> 4, t & 15)
+            return _decode_scan(
+                data, i + ln, frame, qt, huff_dc, huff_ac, scan, restart_interval
+            )
+        i += ln
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(data, pos, frame, qt, huff_dc, huff_ac, scan, restart_interval):
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+    m = _idct_mat()
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        )
+    segs = _entropy_segments(data, pos)
+    seg_i = 0
+    bits = _Bits(segs[0])
+    preds = [0] * len(comps)
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated: missing restart segment")
+            bits = _Bits(segs[seg_i])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, c in enumerate(comps):
+            dc_t, ac_t = scan[c["id"]]
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    preds[ci], zz = _decode_block(
+                        bits, huff_dc[dc_t], huff_ac[ac_t], preds[ci]
+                    )
+                    nat = np.zeros(64, dtype=np.float64)
+                    nat[ZIGZAG] = zz * q  # dequantize in zigzag domain
+                    coef = nat.reshape(8, 8)
+                    blk = m.T @ coef @ m + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+    # upsample each component to full MCU-grid resolution, crop, color-convert
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["v"] < vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        if c["h"] < hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0].round(), 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        raise NotImplementedError(f"JPEG with {len(full)} components (1 or 3 only)")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(rgb.round(), 0, 255).astype(np.uint8)

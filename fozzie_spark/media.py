@@ -327,18 +327,24 @@ def _decode_bytes(data: bytes, feat_dim: int) -> tuple[str, int, int, int, np.nd
         rate, nch, x = _decode_wav(data)
         return "audio", rate, nch, len(x), _audio_feature(x, feat_dim)
     if data[:3] == b"\xff\xd8\xff":
-        # jpeg: decode via PIL when it exists at runtime (cluster images
-        # usually ship pillow; this sandbox doesn't). The probe keeps the
-        # stdlib-only default honest while completing the decoder story
-        # wherever a real image library is installed.
+        # jpeg: baseline (SOF0/SOF1 Huffman — what cameras and web encoders
+        # emit) decodes with the pure-stdlib decoder, no PIL needed; the
+        # variants it refuses (progressive, arithmetic, 12-bit) fall back
+        # to PIL when installed at runtime.
+        from fozzie_spark.jpeg import decode_baseline_jpeg
+
         try:
-            from PIL import Image  # noqa: PLC0415
-        except ImportError as e:
-            raise NotImplementedError(
-                "jpeg decode needs PIL/pillow, which is not installed in this "
-                "environment (netpbm/PNG/WAV decode with the stdlib)"
-            ) from e
-        img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), dtype=np.uint8)
+            img = decode_baseline_jpeg(data)
+        except NotImplementedError:
+            try:
+                from PIL import Image  # noqa: PLC0415
+            except ImportError as e:
+                raise NotImplementedError(
+                    "non-baseline jpeg (progressive/arithmetic/12-bit) needs "
+                    "PIL/pillow, not installed here; baseline jpeg + "
+                    "netpbm/PNG/WAV decode with the stdlib"
+                ) from e
+            img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), dtype=np.uint8)
         grid = max(int(feat_dim**0.5), 1)
         return "image", img.shape[1], img.shape[0], 1, _image_feature(img, grid)
     raise NotImplementedError(

@@ -387,3 +387,79 @@ def test_prefix_auto_decision_cached(spark, monkeypatch):
     monkeypatch.setattr(blocking, "_plan_size_bytes", _boom)
     for _ in range(9):
         assert blocking.use_prefix_filter(names, names) is False
+
+
+def test_id_keyed_ngram_builders_lossless(spark):
+    # qgram_candidates_ids / cosine_candidates_ids (the er_pipeline id-keyed
+    # blocking path: kids + grams shuffle, never key strings) must be a
+    # SUPERSET of the brute-force match set in both physical modes
+    import collections
+    import math
+    import random
+
+    from fozzie_spark.blocking import _count_map_col, qgrams_col
+
+    rnd = random.Random(5)
+    base = ["abcdefg", "abcdxfg", "zzzzzzz", "qwerty", "qwertz", "ab", "", "abab", "baba", "a"]
+    keys = sorted(
+        set(base)
+        | {"".join(rnd.choice("abcd") for _ in range(rnd.randint(0, 10))) for _ in range(60)}
+    )
+    q = 2
+    df = spark.createDataFrame(list(enumerate(keys)), "kid long, key string")
+
+    def grams(s):
+        return [s[i:i + q] for i in range(len(s) - q + 1)]
+
+    def qgram_dist(a, b):
+        ca, cb = collections.Counter(grams(a)), collections.Counter(grams(b))
+        return sum(abs(ca[g] - cb[g]) for g in set(ca) | set(cb))
+
+    def cos_dist(a, b):
+        ca, cb = collections.Counter(grams(a)), collections.Counter(grams(b))
+        if not ca or not cb:
+            return 1.0
+        dot = sum(ca[g] * cb[g] for g in ca)
+        na = math.sqrt(sum(v * v for v in ca.values()))
+        nb = math.sqrt(sum(v * v for v in cb.values()))
+        return 1.0 - dot / (na * nb)
+
+    tau_q = 4
+    prof_q = df.select(
+        "kid",
+        F.array_distinct(qgrams_col("key", q)).alias("__fz_gs"),
+        F.size(qgrams_col("key", q)).alias("__fz_tc"),
+    )
+    true_q = {
+        (i, j)
+        for i in range(len(keys))
+        for j in range(i + 1, len(keys))
+        if qgram_dist(keys[i], keys[j]) <= tau_q
+    }
+    assert true_q  # non-vacuous (incl. small-profile pairs like "" vs "ab")
+    for mode in ("prefix", "simple"):
+        got = {
+            (r["kid"], r["kid2"])
+            for r in blocking.qgram_candidates_ids(
+                prof_q, "kid", tau_q, prefix_mode=mode
+            ).collect()
+        }
+        assert true_q <= got, f"qgram {mode}: missing {sorted(true_q - got)[:5]}"
+
+    tau_c = 0.4
+    prof_c = df.select("kid", _count_map_col("key", q).alias("__fz_cm"))
+    true_c = {
+        (i, j)
+        for i in range(len(keys))
+        for j in range(i + 1, len(keys))
+        if cos_dist(keys[i], keys[j]) <= tau_c
+    }
+    assert true_c
+    for mode in ("prefix", "simple"):
+        got = {
+            (r["kid"], r["kid2"])
+            for r in blocking.cosine_candidates_ids(
+                prof_c, "kid", tau_c, prefix_mode=mode
+            ).collect()
+        }
+        assert true_c <= got, f"cosine {mode}: missing {sorted(true_c - got)[:5]}"

@@ -255,3 +255,73 @@ def test_pipeline_qgram_and_cosine_methods(spark, tmp_path):
         assert os.path.getmtime(os.path.join(ck, f"{s}.manifest.json")) == t, s
     er_pipeline(spark, docs, checkpoint_dir=ck, method="cosine", max_distance=0.2, q=3)
     assert os.path.getmtime(os.path.join(ck, "pairs.manifest.json")) > mtimes["pairs"]
+
+
+def test_cc_precontract_equivalence(spark):
+    # partition-local union-find pre-contraction must leave component
+    # assignments bit-identical on adversarial shapes: long chains split
+    # across partitions, stars, islands — for long, string, AND struct
+    # (kid-style) node ids
+    import random
+
+    rng = random.Random(23)
+    edges = [(i, i + 1) for i in range(60)]                     # one long chain
+    edges += [(1000 + rng.randint(0, 40), 1000 + rng.randint(0, 40)) for _ in range(80)]
+    edges += [(2000, 2001), (3000, 3001), (3001, 3002)]
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    base = {r["node"]: r["component"]
+            for r in connected_components(df, precontract=False).collect()}
+    fast = {r["node"]: r["component"]
+            for r in connected_components(df, precontract=True).collect()}
+    assert base == fast
+
+    sdf = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    ).repartition(5)
+    sb = {r["node"]: r["component"]
+          for r in connected_components(sdf, precontract=False).collect()}
+    sf_ = {r["node"]: r["component"]
+           for r in connected_components(sdf, precontract=True).collect()}
+    assert sb == sf_
+
+    # struct node ids (the er_pipeline kid shape) — incl. negative h1/h2
+    kdf_ = spark.createDataFrame(
+        [((a * 7 - 100, -a), (b * 7 - 100, -b)) for a, b in edges],
+        "src struct<h1:long,h2:long>, dst struct<h1:long,h2:long>",
+    ).repartition(4)
+    kb = {tuple(r["node"]): tuple(r["component"])
+          for r in connected_components(kdf_, precontract=False).collect()}
+    kf = {tuple(r["node"]): tuple(r["component"])
+          for r in connected_components(kdf_, precontract=True).collect()}
+    assert kb == kf
+
+
+def test_pipeline_jw_method(spark, tmp_path):
+    # jaro/jw route through the provable-regime token-prefix blocking and
+    # the Arrow jw scorer; near-dup texts co-cluster, distinct do not
+    def doc(i, text):
+        return (f"d{i}", [{"kind": "text", "text": text, "media_ref": None, "offset": 0}])
+
+    docs = spark.createDataFrame(
+        [
+            doc(0, "the quick brown fox jumps over the dog"),
+            doc(1, "the quick brown fox jumps over the hog"),
+            doc(2, "zzz qqq vvv kkk www yyy xxx jjj uuu"),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out = er_pipeline(
+        spark, docs, checkpoint_dir=str(tmp_path / "jw"), method="jw",
+        max_distance=0.25, prefix_weight=0.1, max_prefix=4, resume=False,
+    )
+    ent = {r["doc_id"]: r["entity_id"] for r in out["entities"].collect()}
+    assert ent["d0"] == ent["d1"] != ent["d2"]
+
+    # outside the provable regime (s <= 1/3 or negative weight) -> refused
+    with pytest.raises(ValueError, match="recall-sound"):
+        er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "jw2"),
+                    method="jw", max_distance=0.7)
+    with pytest.raises(ValueError, match="recall-sound"):
+        er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "jw3"),
+                    method="jw", max_distance=0.25, prefix_weight=-0.1)
