@@ -168,6 +168,19 @@ def main() -> int:
     extras["lsh_recall"] = round(len(lsh_pairs & exact_pairs) / max(len(exact_pairs), 1), 4)
     print(f"lsh_pairs: {timings['lsh_pairs']}s recall={extras['lsh_recall']}", file=sys.stderr)
 
+    # 7c. the qgram/cosine ER blocking path (id-keyed: kids + grams shuffle,
+    # never key strings) on a sf-scaled corpus — its shuffle_read delta is
+    # the regression alarm for the round-5 kid refactor
+    n_cos = max(int(200_000 * float(sf)), 500)
+    ckpt_cos = tempfile.mkdtemp(prefix="fz_bench_ercos_")
+    bench(
+        "er_cosine",
+        lambda: er_pipeline(
+            spark, synth_documents(spark, n_cos), checkpoint_dir=ckpt_cos,
+            method="cosine", max_distance=0.25, q=3, resume=False,
+        )["entities"].count(),
+    )
+
     # 8. the ER pipeline on a synthetic corpus scaled by sf
     n_entities = max(int(500_000 * float(sf)), 500)
     ckpt = tempfile.mkdtemp(prefix="fz_bench_er_")

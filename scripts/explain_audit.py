@@ -96,6 +96,25 @@ def main() -> int:
             by={"s": "s2", "e": "e2t"}, maxgap=60, unit="seconds",
         ),
     ))
+    # id-keyed ER candidate builders (kids + grams shuffle, no key strings,
+    # no cross joins)
+    from fozzie_spark import blocking as B
+
+    keys = docs.select(
+        F.xxhash64("text").alias("kid"), F.col("text").alias("key")
+    ).distinct()
+    prof_q = keys.select(
+        "kid",
+        F.array_distinct(B.qgrams_col("key", 3)).alias("__fz_gs"),
+        F.size(B.qgrams_col("key", 3)).alias("__fz_tc"),
+    )
+    results.append(audit(
+        "er_qgram_ids", B.qgram_candidates_ids(prof_q, "kid", 4, prefix_mode="prefix")
+    ))
+    prof_c = keys.select("kid", B._count_map_col("key", 3).alias("__fz_cm"))
+    results.append(audit(
+        "er_cosine_ids", B.cosine_candidates_ids(prof_c, "kid", 0.25, prefix_mode="prefix")
+    ))
     bad = [r["name"] for r in results if r["flags"]]
     print("AUDIT:", "FAIL " + ",".join(bad) if bad else "all plans clean")
     spark.stop()

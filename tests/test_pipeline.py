@@ -202,8 +202,10 @@ def test_pipeline_edit_method_short_keys(spark, tmp_path):
 
     import pytest as _pytest
 
+    # jw is accepted in the provable regime (default tau 0.6 < 2/3) since
+    # round 5; an actually-unsupported method still refuses
     with _pytest.raises(ValueError, match="not recall-sound"):
-        er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "x"), method="jw")
+        er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "x"), method="soundex")
 
 
 def test_pipeline_qgram_and_cosine_methods(spark, tmp_path):
@@ -313,10 +315,20 @@ def test_pipeline_jw_method(spark, tmp_path):
     )
     out = er_pipeline(
         spark, docs, checkpoint_dir=str(tmp_path / "jw"), method="jw",
-        max_distance=0.25, prefix_weight=0.1, max_prefix=4, resume=False,
+        max_distance=0.25, prefix_weight=0.0, resume=False,
     )
     ent = {r["doc_id"]: r["entity_id"] for r in out["entities"].collect()}
     assert ent["d0"] == ent["d1"] != ent["d2"]
+
+    # the reference's jw quirk ADDS the prefix term (d' = d + l*p*(1-d),
+    # jaro_winkler.rs:66-76): a positive prefix_weight PENALIZES the shared
+    # 'the quick...' prefix past tau, so the same pair no longer matches
+    out_pw = er_pipeline(
+        spark, docs, checkpoint_dir=str(tmp_path / "jwp"), method="jw",
+        max_distance=0.25, prefix_weight=0.1, max_prefix=4, resume=False,
+    )
+    ent_pw = {r["doc_id"]: r["entity_id"] for r in out_pw["entities"].collect()}
+    assert len(set(ent_pw.values())) == 3
 
     # outside the provable regime (s <= 1/3 or negative weight) -> refused
     with pytest.raises(ValueError, match="recall-sound"):
