@@ -61,3 +61,29 @@ def test_long_string_fallback():
     long = "ab" * 600  # > _MAX_VEC_LEN -> pure fallback inside batch()
     got = V.levenshtein([long, "abc"], [long + "x", "abd"], max_distance=2)
     assert got[0] == 1.0 and got[1] == 1.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(batch, st.sampled_from([2, 3, 4]))
+def test_ngram_family_matches_pure(pairs, q):
+    # the sorted-gram-array NumPy kernels must be BIT-identical to the pure
+    # dict scorers (integer-valued float64 arithmetic is exact, same final
+    # expression order) — including empty/short strings and dup pairs
+    left = [a for a, _ in pairs]
+    right = [b for _, b in pairs]
+    for m in ("qgram", "cosine", "jaccard"):
+        got = getattr(V, m)(left, right, q=q)
+        want = D.METHODS[m](left, right, q=q)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g == w, (m, q, g, w)
+
+
+def test_ngram_vec_nulls_and_unicode():
+    left = ["héllo wörld", None, "", "ab", "ααββ", "abcabc"]
+    right = ["héllo wörld!", "x", "", None, "ααβγ", "abcabc"]
+    for m in ("qgram", "cosine", "jaccard"):
+        got = getattr(V, m)(left, right, q=2)
+        want = D.METHODS[m](left, right, q=2)
+        for g, w in zip(got, want):
+            assert (math.isinf(g) and math.isinf(w)) or g == w, (m, g, w)
