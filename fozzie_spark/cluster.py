@@ -156,7 +156,7 @@ def connected_components(
     max_iter: int = 30,
     checkpoint_every: int = 1,
     checkpoint_dir: str | None = None,
-    precontract: bool | str = "auto",
+    precontract: bool = False,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`.
 
@@ -179,25 +179,16 @@ def connected_components(
         .distinct()
     )
     all_nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
-    if precontract == "auto":
-        # the pass pays a Python-worker spin-up per partition (~6-10 s
-        # measured on a 256-edge set) and only earns it back by shrinking a
-        # LARGE edge set before the serial rounds — gate on optimizer plan
-        # stats (parquet-backed edges carry real sizes; unknown stats =>
-        # skip). CAVEAT: un-materialized join plans ESTIMATE size as a
-        # product and can misfire the gate high — callers with such plans
-        # and known-small edge sets should pass precontract=False
-        # (textops.near_dedup does). Measured at 5M parquet-backed edges
-        # the pass is a wash (47-66 s both ways, identical components) —
-        # it is kept for graphs with long intra-partition chains, where
-        # contraction cuts alternating rounds.
-        from fozzie_spark.blocking import _plan_size_bytes
-
-        sz = _plan_size_bytes(edges)
-        precontract = sz is not None and sz > (64 << 20)
     if precontract:
-        # shrink the edge set and collapse intra-partition chains before the
-        # serial rounds (components provably unchanged — see _local_contract)
+        # OFF by default after measurement: the pass pays Python-worker
+        # spin-up per partition (~6-10 s on a 256-edge set), is a wash at
+        # 5M long-keyed parquet edges (47-66 s both ways), and is HARMFUL
+        # on struct-keyed (kid) edge tables — per-row struct<->dict Arrow
+        # conversion added ~18-30 s to the 1M-entity clusters stage. The
+        # alternating rounds alone are the right default; opt in only for
+        # graphs with long intra-partition chains over scalar node ids
+        # (components are provably identical either way — pinned in
+        # tests/test_pipeline.py).
         e = _local_contract(e)
 
     from pyspark.sql import Observation
