@@ -586,11 +586,18 @@ def er_pipeline(
         # reliable_cc: CC rounds checkpoint to stage tables under the run's
         # checkpoint dir (executor-loss tolerant); default localCheckpoint
         # is the right trade in local mode
+        # driver_finish_bytes raised from the 256MB default: kid nodes are
+        # fixed 32-byte struct payloads on the vectorized finish path (no
+        # Python-object expansion), so a 512MB edge collect is bounded and
+        # well under the bench/cluster maxResultSize settings — and it lets
+        # the pre-round plan-stats gate swallow the whole serial-rounds
+        # floor for dup graphs up to ~4M edges
         return connected_components(
             edges,
             src="kid",
             dst="kid2",
             checkpoint_dir=f"{checkpoint_dir.rstrip('/')}/cc_rounds" if reliable_cc else None,
+            driver_finish_bytes=512 << 20,
         ).select(F.col("node").alias("kid"), F.col("component").alias("entity_kid"))
 
     from fozzie_spark.cluster import _persistent_ids, _unpersist_ids

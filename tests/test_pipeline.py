@@ -144,7 +144,9 @@ def test_cc_reliable_checkpoint(spark, tmp_path):
     df = spark.createDataFrame(edges, "src long, dst long")
     cc = {
         r["node"]: r["component"]
-        for r in connected_components(df, checkpoint_dir=str(tmp_path)).collect()
+        for r in connected_components(
+            df, checkpoint_dir=str(tmp_path), driver_finish_bytes=0
+        ).collect()
     }
     assert all(cc[i] == 0 for i in range(10))
     assert cc[100] == cc[101] == 100
@@ -152,6 +154,18 @@ def test_cc_reliable_checkpoint(spark, tmp_path):
     # deleted as iterations advance; the final one backs the result DF)
     rounds = [p for p in os.listdir(tmp_path) if p.startswith("cc_round_")]
     assert len(rounds) == 1
+
+    # default (driver-finish enabled): same assignment, and NO round table
+    # survives — the result is a driver-local relation, so every round
+    # artifact is dead and deleted
+    ck2 = tmp_path / "fin"
+    ck2.mkdir()
+    cc2 = {
+        r["node"]: r["component"]
+        for r in connected_components(df, checkpoint_dir=str(ck2)).collect()
+    }
+    assert cc2 == cc
+    assert [p for p in os.listdir(ck2) if p.startswith("cc_round_")] == []
 
 
 def test_pipeline_short_key_recall(spark, tmp_path):
@@ -297,6 +311,57 @@ def test_cc_precontract_equivalence(spark):
     kf = {tuple(r["node"]): tuple(r["component"])
           for r in connected_components(kdf_, precontract=True).collect()}
     assert kb == kf
+
+
+def test_cc_driver_finish_equivalence(spark):
+    # the bytes-gated driver finisher must leave component assignments
+    # bit-identical to full-rounds convergence for every node-id shape the
+    # engine ships: long, string, struct<long,long> (kid), and a struct
+    # with a string field (the generic Python-object path)
+    import random
+
+    rng = random.Random(41)
+    edges = [(i, i + 1) for i in range(80)]                     # long chain
+    edges += [(5000 + rng.randint(0, 60), 5000 + rng.randint(0, 60)) for _ in range(120)]
+    edges += [(9000, 9001), (9002, 9003), (9003, 9004)]
+    rng.shuffle(edges)
+
+    df = spark.createDataFrame(edges, "src long, dst long").repartition(7)
+    base = {r["node"]: r["component"]
+            for r in connected_components(df, driver_finish_bytes=0).collect()}
+    fin = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert base == fin
+
+    sdf = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string"
+    ).repartition(5)
+    assert (
+        {r["node"]: r["component"]
+         for r in connected_components(sdf, driver_finish_bytes=0).collect()}
+        == {r["node"]: r["component"] for r in connected_components(sdf).collect()}
+    )
+
+    kdf_ = spark.createDataFrame(
+        [((a * 3 - 7000, -a), (b * 3 - 7000, -b)) for a, b in edges],
+        "src struct<h1:long,h2:long>, dst struct<h1:long,h2:long>",
+    ).repartition(4)
+    assert (
+        {tuple(r["node"]): tuple(r["component"])
+         for r in connected_components(kdf_, driver_finish_bytes=0).collect()}
+        == {tuple(r["node"]): tuple(r["component"])
+            for r in connected_components(kdf_).collect()}
+    )
+
+    gdf = spark.createDataFrame(
+        [((f"g{a}", a), (f"g{b}", b)) for a, b in edges],
+        "src struct<s:string,x:long>, dst struct<s:string,x:long>",
+    ).repartition(3)
+    assert (
+        {tuple(r["node"]): tuple(r["component"])
+         for r in connected_components(gdf, driver_finish_bytes=0).collect()}
+        == {tuple(r["node"]): tuple(r["component"])
+            for r in connected_components(gdf).collect()}
+    )
 
 
 def test_pipeline_jw_method(spark, tmp_path):
