@@ -101,6 +101,7 @@ _QUERY_ORDER = [
     "cosine_topk",
     "lsh_cosine_pairs",
     "media_decode",
+    "media_probe",
     "near_dedup",
     "connected_components",
     "minhash_dedup",
@@ -138,8 +139,7 @@ _QUERY_ORDER = [
     "temporal_inner",
     "temporal_full",
     "distance_euclid_manhattan",
-    "interval_real_inner",
-    "interval_integer_inner",
+    "interval_real_integer",
     "interval_within_inner",
     "interval_gap_overlap",
     "interval_start_end",
@@ -308,8 +308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("k_x", "k_y")
 
-    q["interval_real_inner"] = _interval_real
-
     def _interval_integer(s, d):
         p = (
             s.read.parquet(f"{d}/part.parquet")
@@ -322,7 +320,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("s_x", "e_x", "s_y", "e_y")
 
-    q["interval_integer_inner"] = _interval_integer
+    def _interval_real_integer(s, d):
+        # tagged-union fold of the real-mode and integer-mode rows (frees a
+        # driver-gate slot for media_probe; both semantics stay oracle-checked)
+        real = _interval_real(s, d).select(
+            F.lit("real").alias("mode"),
+            F.col("k_x").cast("double").alias("a"),
+            F.col("k_y").cast("double").alias("b"),
+            F.lit(None).cast("double").alias("c"),
+            F.lit(None).cast("double").alias("d"),
+        )
+        integer = _interval_integer(s, d).select(
+            F.lit("integer").alias("mode"),
+            F.col("s_x").cast("double").alias("a"),
+            F.col("e_x").cast("double").alias("b"),
+            F.col("s_y").cast("double").alias("c"),
+            F.col("e_y").cast("double").alias("d"),
+        )
+        return real.unionByName(integer)
+
+    q["interval_real_integer"] = _interval_real_integer
 
     def _interval_within(s, d):
         o = (
@@ -740,6 +757,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["media_decode"] = _media
 
+    # ---- media container probe (oracle = closed-form expected sidecar) ---------
+    def _media_probe(s, d):
+        # container-level metadata with NO pixel/sample decode: mp4 ISO-BMFF
+        # boxes, jpeg SOF marker walk, png IHDR, netpbm header, wav header —
+        # covers exactly the codec formats (mp4, progressive jpeg) the
+        # decoder honestly refuses in this container. Inputs are
+        # deterministic hand-assembled containers; the expected metadata
+        # follows in closed form from the generator parameters (the oracle
+        # side never runs the prober) and is sidecar'd for DuckDB.
+        import io
+        import struct
+        import wave
+        import zlib
+
+        from fozzie_spark.media import probe_media
+
+        def _box(fourcc, payload):
+            return (8 + len(payload)).to_bytes(4, "big") + fourcc + payload
+
+        def _fullbox(fourcc, payload):
+            return _box(fourcc, b"\x00\x00\x00\x00" + payload)
+
+        def _mp4(w, h, n, timescale, duration):
+            i4 = lambda x: x.to_bytes(4, "big")
+            mvhd = _fullbox(b"mvhd", i4(0) + i4(0) + i4(timescale) + i4(duration) + b"\x00" * 80)
+            tkhd = _fullbox(b"tkhd", i4(0) + i4(0) + i4(1) + i4(0) + i4(duration)
+                            + b"\x00" * 52 + i4(w << 16) + i4(h << 16))
+            hdlr = _fullbox(b"hdlr", i4(0) + b"vide" + b"\x00" * 12 + b"V\x00")
+            stsd = _fullbox(b"stsd", i4(1) + _box(b"avc1", b"\x00" * 70))
+            stsz = _fullbox(b"stsz", i4(0) + i4(n))
+            mdia = _box(b"mdia", hdlr + _box(b"minf", _box(b"stbl", stsd + stsz)))
+            moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+            return _box(b"ftyp", b"isom" + i4(512) + b"mp41") + moov + _box(b"mdat", b"")
+
+        def _jpeg_hdr(w, h, progressive):
+            # SOI + SOFn header only — the probe walks marker segments and
+            # never reaches scan data
+            sof = b"\xff" + (b"\xc2" if progressive else b"\xc0")
+            seg = struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+            return b"\xff\xd8" + sof + struct.pack(">H", len(seg) + 2) + seg + b"\xff\xd9"
+
+        def _png_hdr(w, h):
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + b"IHDR"
+                    + ihdr + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+
+        def _wav(n, rate):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes(b"\x01\x02" * n)
+            return buf.getvalue()
+
+        rows, expected = [], []
+        for i in range(40):
+            k = i % 5
+            if k == 0:
+                w, h, n, ts, dur = 320 + 16 * i, 180 + 9 * i, 24 + i, 1000, 1000 + 40 * i
+                rows.append((f"p{i}", bytearray(_mp4(w, h, n, ts, dur))))
+                expected.append((f"p{i}", "mp4", "video", w, h, n, dur * 1000 // ts, "avc1"))
+            elif k == 1:
+                w, h = 4 + i % 7, 3 + i % 5
+                rows.append((f"p{i}",
+                             bytearray(f"P6\n{w} {h}\n255\n".encode() + b"\x00" * (3 * w * h))))
+                expected.append((f"p{i}", "netpbm", "image", w, h, 1, None, "ppm"))
+            elif k == 2:
+                n, rate = 100 + i, 8000
+                rows.append((f"p{i}", bytearray(_wav(n, rate))))
+                expected.append((f"p{i}", "wav", "audio", rate, 1, n, n * 1000 // rate, "pcm"))
+            elif k == 3:
+                w, h, prog = 24 + i, 16 + i, i % 2 == 1
+                rows.append((f"p{i}", bytearray(_jpeg_hdr(w, h, prog))))
+                expected.append((f"p{i}", "jpeg", "image", w, h, 1, None,
+                                 "jpeg-progressive" if prog else "jpeg-baseline"))
+            else:
+                w, h = 7 + i, 5 + i
+                rows.append((f"p{i}", bytearray(_png_hdr(w, h))))
+                expected.append((f"p{i}", "png", "image", w, h, 1, None, "png"))
+        rows.append(("bad", bytearray(b"\x00\x01notmedia")))  # on_error=skip drops it
+        s.createDataFrame(
+            expected,
+            "doc_id string, container string, kind string, width int, height int, "
+            "n_frames int, duration_ms bigint, codec string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{_SIDECAR}/probe_expected")
+        df = s.createDataFrame(rows, "doc_id string, media_bytes binary")
+        return probe_media(df)
+
+    q["media_probe"] = _media_probe
+
     # ---- ER pipeline ----------------------------------------------------------
     def _er(s, d):
         # Output is (doc_id, entity_rep = min doc_id in the predicted
@@ -1132,16 +1240,17 @@ def oracle_sql() -> dict[str, str]:
           AND (CASE WHEN a.e < b.s THEN b.s - a.e
                     WHEN b.e < a.s THEN a.s - b.e ELSE 0 END) <= 60
     """
-    o["interval_real_inner"] = """
-        WITH t AS (SELECT o_orderkey AS k, o_totalprice AS s, o_totalprice + 20000.0 AS e
-                   FROM orders WHERE o_orderkey % 100 = 0)
-        SELECT a.k AS k_x, b.k AS k_y
-        FROM t a, t b WHERE a.s <= b.e AND b.s <= a.e
-    """
-    o["interval_integer_inner"] = """
-        WITH t AS (SELECT DISTINCT p_size AS s, p_size + 2 AS e FROM part)
-        SELECT a.s AS s_x, a.e AS e_x, b.s AS s_y, b.e AS e_y
-        FROM t a, t b WHERE b.s <= a.e + 1 AND a.s <= b.e + 1
+    o["interval_real_integer"] = """
+        WITH r AS (SELECT o_orderkey AS k, o_totalprice AS s, o_totalprice + 20000.0 AS e
+                   FROM orders WHERE o_orderkey % 100 = 0),
+        i AS (SELECT DISTINCT p_size AS s, p_size + 2 AS e FROM part)
+        SELECT 'real' AS mode, CAST(a.k AS DOUBLE) AS a, CAST(b.k AS DOUBLE) AS b,
+               CAST(NULL AS DOUBLE) AS c, CAST(NULL AS DOUBLE) AS d
+        FROM r a, r b WHERE a.s <= b.e AND b.s <= a.e
+        UNION ALL
+        SELECT 'integer' AS mode, CAST(a.s AS DOUBLE) AS a, CAST(a.e AS DOUBLE) AS b,
+               CAST(b.s AS DOUBLE) AS c, CAST(b.e AS DOUBLE) AS d
+        FROM i a, i b WHERE b.s <= a.e + 1 AND a.s <= b.e + 1
     """
     o["interval_within_inner"] = """
         WITH t AS (SELECT o_orderkey AS k, o_totalprice AS s, o_totalprice + 20000.0 AS e
@@ -1482,6 +1591,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, kind, width, height, n_frames,
                round(CAST(feat0 AS DOUBLE), 6) AS feat0
         FROM read_parquet('{_SIDECAR}/media_expected/*.parquet')
+    """
+    # closed-form expected container metadata, sidecar'd by the query
+    o["media_probe"] = f"""
+        SELECT doc_id, container, kind, width, height, n_frames, duration_ms, codec
+        FROM read_parquet('{_SIDECAR}/probe_expected/*.parquet')
     """
     o["cosine_topk"] = """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -281,3 +281,84 @@ def test_non_baseline_jpeg_without_pil_raises_not_implemented():
     # corrupt jpeg bytes are a decode error, not a missing-dependency error
     with pytest.raises(ValueError, match="no SOS"):
         _decode_bytes(b"\xff\xd8\xff\xe0fakejpegbytes", 16)
+
+
+# ---- container probing ------------------------------------------------------
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + fourcc + payload
+
+
+def _full(fourcc: bytes, ver: int, payload: bytes) -> bytes:
+    return _box(fourcc, bytes([ver, 0, 0, 0]) + payload)
+
+
+def mp4_bytes(w=640, h=360, n_samples=48, timescale=1000, duration=2000, ver=0):
+    """Hand-assembled minimal ISO-BMFF: ftyp + moov[mvhd, trak[tkhd,
+    mdia[mdhd, hdlr(vide), minf[stbl[stsd(avc1), stsz]]]]] + empty mdat."""
+    i4 = lambda x: x.to_bytes(4, "big")
+    i8 = lambda x: x.to_bytes(8, "big")
+    if ver:
+        mvhd = _full(b"mvhd", 1, i8(0) + i8(0) + i4(timescale) + i8(duration) + b"\x00" * 80)
+        tkhd = _full(b"tkhd", 1, i8(0) + i8(0) + i4(1) + i4(0) + i8(duration)
+                     + b"\x00" * 52 + i4(w << 16) + i4(h << 16))
+    else:
+        mvhd = _full(b"mvhd", 0, i4(0) + i4(0) + i4(timescale) + i4(duration) + b"\x00" * 80)
+        tkhd = _full(b"tkhd", 0, i4(0) + i4(0) + i4(1) + i4(0) + i4(duration)
+                     + b"\x00" * 52 + i4(w << 16) + i4(h << 16))
+    mdhd = _full(b"mdhd", 0, i4(0) + i4(0) + i4(timescale) + i4(duration) + i4(0))
+    hdlr = _full(b"hdlr", 0, i4(0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00")
+    avc1 = _box(b"avc1", b"\x00" * 70)
+    stsd = _full(b"stsd", 0, i4(1) + avc1)
+    stsz = _full(b"stsz", 0, i4(0) + i4(n_samples))
+    stbl = _box(b"stbl", stsd + stsz)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom" + i4(512) + b"isomiso2avc1mp41")
+    return ftyp + moov + _box(b"mdat", b"")
+
+
+def test_probe_bytes_local():
+    from fozzie_spark.media import _probe_bytes
+
+    assert _probe_bytes(mp4_bytes()) == ("mp4", "video", 640, 360, 48, 2000, "avc1")
+    # version-1 (64-bit times) boxes parse identically
+    assert _probe_bytes(mp4_bytes(ver=1)) == ("mp4", "video", 640, 360, 48, 2000, "avc1")
+    assert _probe_bytes(pgm_bytes(5, 4)) == ("netpbm", "image", 5, 4, 1, None, "pgm")
+    assert _probe_bytes(ppm_bytes(3, 2)) == ("netpbm", "image", 3, 2, 1, None, "ppm")
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    assert _probe_bytes(png_bytes(img, ctype=2)) == ("png", "image", 4, 2, 1, None, "png")
+    c, k, rate, nch, nf, dur, codec = _probe_bytes(wav_bytes(n_samples=400, rate=8000))
+    assert (c, k, rate, nch, nf, codec) == ("wav", "audio", 8000, 1, 400, "pcm")
+    assert dur == 50  # 400 samples @ 8 kHz
+    from tests.test_jpeg import encode_baseline_jpeg
+
+    jimg = np.full((16, 24, 3), 128, dtype=np.uint8)
+    c, k, w, h, nf, dur, codec = _probe_bytes(encode_baseline_jpeg(jimg))
+    assert (c, k, w, h, nf) == ("jpeg", "image", 24, 16, 1)
+    assert codec.startswith("jpeg-")
+    with pytest.raises(ValueError):
+        _probe_bytes(b"\x00\x01\x02\x03garbage")
+
+
+def test_probe_media_spark(spark):
+    from fozzie_spark.media import probe_media
+
+    rows = [
+        ("v1", bytearray(mp4_bytes())),
+        ("p1", bytearray(pgm_bytes(6, 3))),
+        ("bad", bytearray(b"\x00notmedia")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, media_bytes binary")
+    got = {r["doc_id"]: r.asDict() for r in probe_media(df).collect()}
+    assert set(got) == {"v1", "p1"}  # on_error=skip drops the garbage row
+    assert got["v1"]["container"] == "mp4" and got["v1"]["kind"] == "video"
+    assert (got["v1"]["width"], got["v1"]["height"]) == (640, 360)
+    assert got["v1"]["n_frames"] == 48 and got["v1"]["duration_ms"] == 2000
+    assert got["v1"]["codec"] == "avc1"
+    assert got["p1"]["kind"] == "image" and got["p1"]["width"] == 6
+    with pytest.raises(Exception):
+        probe_media(df, on_error="error").collect()
