@@ -610,9 +610,31 @@ def er_pipeline(
 
     # ---- stage 5: assign docs, carry spans byte-identical -------------------
     def _entities():
-        assign = keys.join(clusters, "kid", "left").select(
+        # the docs side carries the span payloads — by far the heaviest
+        # column in the run. A plain join on doc_id sort-merge-shuffles
+        # every span byte just to attach a 8-byte entity id; when the
+        # assign side is provably small (optimizer plan stats of the
+        # materialized keys/clusters stage tables — the same bytes-aware
+        # gate discipline as the broadcast/driver-finish gates elsewhere),
+        # broadcast it so the docs scan stays partition-local and the
+        # stage is scan -> broadcast-hash-join -> write with no wide
+        # exchange on the payload. At 10^12 docs the stats blow the gate
+        # and the stage falls back to the shuffle join unchanged.
+        from fozzie_spark.blocking import _plan_size_bytes
+
+        gate = 256 << 20
+        cl = clusters
+        csz = _plan_size_bytes(cl)
+        if csz is not None and csz <= gate:
+            cl = F.broadcast(cl)
+        assign = keys.join(cl, "kid", "left").select(
             "doc_id", F.coalesce("entity_kid", "kid").alias("entity_kid")
         )
+        # keys' on-disk bytes (doc_id + kid) upper-bound assign's
+        # (doc_id + entity_kid) — same columns widths, one row each
+        ksz = _plan_size_bytes(keys)
+        if ksz is not None and ksz <= gate:
+            assign = F.broadcast(assign)
         return (
             docs.join(assign, "doc_id")
             .withColumn("entity_id", F.xxhash64("entity_kid.h1", "entity_kid.h2"))
