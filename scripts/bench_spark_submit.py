@@ -1,0 +1,147 @@
+"""Run the ER job through REAL `spark-submit --py-files` at two
+parallelism levels (the north rule's deployment mode, executed, not just
+documented).
+
+What this proves beyond bench_scaling.py (which shells `python -m
+fozzie_spark.job`):
+  * the package imports and runs from a --py-files zip alone — the job is
+    executed from a scratch cwd containing neither the repo nor the
+    package, so every `import fozzie_spark` in the driver resolves to the
+    shipped archive exactly as it would on a cluster's executors;
+  * the job script itself is submitted as a file (primary resource), the
+    way a cluster submission works, with master/memory/JVM flags on the
+    spark-submit command line instead of in-process builder config.
+
+Levels are pinned with taskset (whole process tree) and
+-XX:ActiveProcessorCount like bench_scaling.py so the two runs emulate an
+8-core and a 32-core machine rather than two slices of the same host.
+
+    python scripts/bench_spark_submit.py [n_entities]   # default 100000
+
+Writes BENCH/spark_submit.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEVELS = tuple(int(x) for x in os.environ.get("FZ_LEVELS", "8,32").split(","))
+
+
+def make_zip(path: str) -> str:
+    """Zip the fozzie_spark package with the package dir at archive root
+    (the layout --py-files expects for `import fozzie_spark`)."""
+    if os.path.exists(path):
+        os.unlink(path)
+    pkg = os.path.join(REPO, "fozzie_spark")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return path
+
+
+def run_level(cpus: int, n_entities: int, zip_path: str, job_path: str, cwd: str) -> dict:
+    ckpt = f"/tmp/fz_submit_ckpt_{cpus}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    pin = ["taskset", "-c", f"0-{cpus - 1}"] if shutil.which("taskset") else []
+    submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(os.path.dirname(sys.executable)), "bin", "spark-submit"
+    )
+    cmd = pin + [
+        submit,
+        "--master", f"local[{cpus}]",
+        "--driver-memory", os.environ.get("FZ_HEAP", "16g"),
+        "--conf", "spark.driver.maxResultSize=3g",
+        "--conf",
+        f"spark.driver.extraJavaOptions=-XX:+UseParallelGC -XX:ActiveProcessorCount={cpus}",
+        "--py-files", zip_path,
+        job_path,
+        "--synth-entities", str(n_entities),
+        "--checkpoint-dir", ckpt,
+        "--shuffle-partitions", str(cpus * 2),
+        "--no-resume",
+    ]
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable, PYSPARK_DRIVER_PYTHON=sys.executable)
+    # scrub any path that could shadow the zip: the scratch cwd has no
+    # fozzie_spark, and PYTHONPATH must not point back at the repo
+    env.pop("PYTHONPATH", None)
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd=cwd)
+    wall = time.time() - t0
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        print(proc.stdout[-3000:], file=sys.stderr)
+        print(proc.stderr[-3000:], file=sys.stderr)
+        raise RuntimeError(f"spark-submit local[{cpus}] failed (rc={proc.returncode})")
+    out = json.loads(lines[-1])
+    out["subprocess_wall_s"] = round(wall, 1)
+    return out
+
+
+def main() -> int:
+    n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    scratch = "/tmp/fz_submit_scratch"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+    zip_path = make_zip(os.path.join(scratch, "fozzie_spark.zip"))
+    # the job script is shipped as the primary resource from scratch too —
+    # nothing on disk next to it can satisfy `import fozzie_spark`
+    job_path = os.path.join(scratch, "job.py")
+    shutil.copyfile(os.path.join(REPO, "fozzie_spark", "job.py"), job_path)
+
+    results = {c: run_level(c, n_entities, zip_path, job_path, scratch) for c in LEVELS}
+    lo, hi = LEVELS
+    t_lo, t_hi = results[lo]["wall_s"], results[hi]["wall_s"]
+    eff_wall = (t_lo / t_hi) / (hi / lo)
+    counts_equal = all(
+        results[lo][k] == results[hi][k]
+        for k in ("candidate_pairs", "surviving_pairs", "edges", "entities_rows")
+    )
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out_path = os.path.join(REPO, "BENCH", "spark_submit.md")
+    with open(out_path, "w") as f:
+        f.write(f"""# spark-submit --py-files evidence
+
+The north rule's deployment mode, actually executed: `spark-submit
+--py-files fozzie_spark.zip job.py ...` from a scratch directory that
+contains only the zip and the job script — every `import fozzie_spark`
+resolves from the shipped archive, exactly as on a cluster executor.
+Same deterministic synthetic corpus ({n_entities} entities,
+{results[lo]['docs']} docs, seed 42) at both parallelism levels, fresh
+JVM + fresh checkpoint dir each, taskset-pinned with
+-XX:ActiveProcessorCount (see scripts/bench_spark_submit.py).
+
+| level | end-to-end wall s | docs/s | pairs scored/s |
+|---|---|---|---|
+| local[{lo}] (pinned) | {t_lo} | {results[lo]['docs_per_sec']} | {results[lo]['pairs_scored_per_sec']} |
+| local[{hi}] | {t_hi} | {results[hi]['docs_per_sec']} | {results[hi]['pairs_scored_per_sec']} |
+
+- scaling efficiency (end-to-end wall): **{eff_wall:.3f}**
+- candidate/surviving/edge/entity counts bit-equal across levels: **{counts_equal}**
+
+Raw JSON:
+
+```json
+{json.dumps(results, indent=2)}
+```
+""")
+    print(json.dumps({"eff_wall": round(eff_wall, 3), "counts_equal": counts_equal,
+                      "wall_s": {str(c): results[c]["wall_s"] for c in LEVELS}}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
