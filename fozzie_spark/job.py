@@ -79,6 +79,8 @@ def main(argv=None) -> int:
         action="store_true",
         help="skip the per-partition row-count job per stage (full-scale runs)",
     )
+    p.add_argument("--no-f1", action="store_true",
+                   help="skip the post-run pairwise-F1 evaluation on synthetic corpora")
     p.add_argument("--reliable-cc", action="store_true",
                    help="checkpoint CC rounds to parquet stage tables (cluster mode)")
     p.add_argument("--cpus", help="local[N] master override (omit under spark-submit)")
@@ -148,6 +150,26 @@ def main(argv=None) -> int:
         "pairs_scored_per_sec": round(n_pairs / score_wall, 1),
         "docs_per_sec": round((n_docs or 0) / wall, 1),
     }
+
+    if args.synth_entities and not args.no_f1:
+        # the north metric: pairwise F1 vs the corpus's ground-truth
+        # entity ids. Computed AFTER wall_s is closed so evaluation never
+        # pollutes the throughput numbers; three sum-of-squares
+        # aggregations, no pair materialization (pairwise_f1). This scores
+        # ALL doc pairs, a strict superset of the rule's "labeled pairs
+        # sharing a blocking key" — cross-block true pairs count as recall
+        # misses here, so the reported recall is a lower bound.
+        from pyspark.sql import functions as F
+
+        from fozzie_spark.pipeline import pairwise_f1
+
+        truth = docs.select("doc_id", F.col("entity_id").alias("__truth"))
+        pred = out["entities"].select("doc_id", F.col("entity_id").alias("__pred"))
+        m = pairwise_f1(truth.join(pred, "doc_id"), truth_col="__truth", pred_col="__pred")
+        result["pairwise_f1"] = round(m["f1"], 6)
+        result["pairwise_precision"] = round(m["precision"], 6)
+        result["pairwise_recall"] = round(m["recall"], 6)
+
     print(json.dumps(result))
     return 0
 

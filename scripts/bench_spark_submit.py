@@ -124,13 +124,30 @@ Same deterministic synthetic corpus ({n_entities} entities,
 JVM + fresh checkpoint dir each, taskset-pinned with
 -XX:ActiveProcessorCount (see scripts/bench_spark_submit.py).
 
-| level | end-to-end wall s | docs/s | pairs scored/s |
-|---|---|---|---|
-| local[{lo}] (pinned) | {t_lo} | {results[lo]['docs_per_sec']} | {results[lo]['pairs_scored_per_sec']} |
-| local[{hi}] | {t_hi} | {results[hi]['docs_per_sec']} | {results[hi]['pairs_scored_per_sec']} |
+| level | end-to-end wall s | docs/s | pairs scored/s | pairwise F1 |
+|---|---|---|---|---|
+| local[{lo}] (pinned) | {t_lo} | {results[lo]['docs_per_sec']} | {results[lo]['pairs_scored_per_sec']} | {results[lo].get('pairwise_f1', 'n/a')} |
+| local[{hi}] | {t_hi} | {results[hi]['docs_per_sec']} | {results[hi]['pairs_scored_per_sec']} | {results[hi].get('pairwise_f1', 'n/a')} |
+
+The F1 column is the north metric's quality gate, evaluated against the
+synthetic corpus's ground-truth entity ids over ALL doc pairs (a strict
+superset of "labeled pairs sharing a blocking key" — cross-block true
+pairs count as recall misses, so this is the conservative reading).
+Evaluation runs after wall_s is closed and never pollutes the timings.
 
 - scaling efficiency (end-to-end wall): **{eff_wall:.3f}**
 - candidate/surviving/edge/entity counts bit-equal across levels: **{counts_equal}**
+
+What this artifact is FOR: proving the north rule's `spark-submit
+--py-files` deployment mode works end-to-end — package imports resolved
+from the shipped zip only, bit-equal counts and F1 >= 0.99 at both
+levels, per-stage walls through the real submission path. It is a single
+pair of runs; the authoritative scaling evidence (same-day repeats,
+noise bands, box-ceiling and isolated-executor controls, 300k/600k/1M
+size trend) is `BENCH/BASELINE.md` — single-box efficiency here sits
+inside that document's measured noise band, squeezed under the box's own
+shared-nothing ceiling (0.63-0.75), which 4N independent memory
+subsystems on a real cluster remove.
 
 Raw JSON:
 

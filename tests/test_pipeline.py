@@ -402,3 +402,32 @@ def test_pipeline_jw_method(spark, tmp_path):
     with pytest.raises(ValueError, match="recall-sound"):
         er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "jw3"),
                     method="jw", max_distance=0.25, prefix_weight=-0.1)
+
+
+def test_job_entry_reports_f1(spark, tmp_path, capsys):
+    # the spark-submit entry (fozzie_spark/job.py) is the artifact the
+    # north rule's deployment mode runs; pin that its JSON line carries the
+    # pairwise-F1 quality gate alongside throughput, and that the tiny
+    # synthetic corpus clears the >= 0.99 bar end-to-end through main()
+    from fozzie_spark import job
+
+    rc = job.main([
+        "--synth-entities", "300",
+        "--checkpoint-dir", str(tmp_path / "job_ckpt"),
+        "--no-resume",
+    ])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["pairwise_f1"] >= 0.99, out
+    assert 0.0 <= out["pairwise_precision"] <= 1.0
+    assert out["docs"] == out["entities_rows"] > 0
+    # opt-out leaves the metric off the line entirely
+    rc = job.main([
+        "--synth-entities", "300",
+        "--checkpoint-dir", str(tmp_path / "job_ckpt2"),
+        "--no-resume", "--no-f1",
+    ])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    assert "pairwise_f1" not in json.loads(line)
