@@ -61,6 +61,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="fozzie_spark ER pipeline")
     p.add_argument("--input", help="parquet path with (doc_id, spans) docs")
     p.add_argument("--synth-entities", type=int, help="generate a synthetic corpus instead")
+    p.add_argument("--synth-hot-docs", type=int, default=0,
+                   help="add a hot-key entity: N near-dup docs sharing one boilerplate text")
+    p.add_argument("--synth-hot-exact", type=int, default=0,
+                   help="add N exact-duplicate docs (one entity, identical text)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--checkpoint-dir", required=True)
     p.add_argument("--output", help="write final entities table here")
@@ -94,7 +98,15 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.synth_entities:
-        docs = synth_documents(spark, args.synth_entities, seed=args.seed)
+        if args.synth_hot_docs or args.synth_hot_exact:
+            from fozzie_spark.synth import synth_documents_skewed
+
+            docs = synth_documents_skewed(
+                spark, args.synth_entities, hot_docs=args.synth_hot_docs,
+                hot_exact=args.synth_hot_exact, seed=args.seed,
+            )
+        else:
+            docs = synth_documents(spark, args.synth_entities, seed=args.seed)
     elif args.input:
         docs = spark.read.parquet(args.input)
     else:

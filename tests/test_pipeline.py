@@ -431,3 +431,59 @@ def test_job_entry_reports_f1(spark, tmp_path, capsys):
     assert rc == 0
     line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     assert "pairwise_f1" not in json.loads(line)
+
+
+def test_pipeline_hot_key_skew(spark, tmp_path):
+    # north rule: hot-key skew must be defused, not suffered. The skewed
+    # corpus has one 300-doc NEAR-dup entity sharing a boilerplate text
+    # (every shared gram df=300, globally hot) and one 150-doc EXACT-dup
+    # entity. With the gram-df cap forced below the hot df, the inverted
+    # index drops the boilerplate grams entirely and the complementary
+    # sorted-neighborhood pass must recover the cluster TRANSITIVELY —
+    # O(hot_docs * window) candidates instead of the hot block's
+    # quadratic 44 850 — while producing the exact same entity partition
+    # the uncapped quadratic run produces.
+    from fozzie_spark.synth import synth_documents_skewed
+
+    docs = synth_documents_skewed(spark, 120, hot_docs=300, hot_exact=150).cache()
+
+    def partition_of(out):
+        rows = out["entities"].select("doc_id", "entity_id").collect()
+        byid = {}
+        for r in rows:
+            byid.setdefault(r["entity_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in byid.values()}
+
+    capped = er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "cap"),
+                         method="jaccard", max_distance=0.45, q=3,
+                         max_gram_df=50, resume=False)
+    raw_capped = capped["runner"].metric("pairs", "raw_candidates")
+
+    full = er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "full"),
+                       method="jaccard", max_distance=0.45, q=3,
+                       max_gram_df=None, resume=False)
+    raw_full = full["runner"].metric("pairs", "raw_candidates")
+
+    # the uncapped run pays the hot block's quadratic candidates; the
+    # capped+SN run must stay well under a quarter of that
+    assert raw_full >= 300 * 299 / 2, (raw_capped, raw_full)
+    assert raw_capped < raw_full / 4, (raw_capped, raw_full)
+
+    # ...and still produce the IDENTICAL entity partition
+    p_capped, p_full = partition_of(capped), partition_of(full)
+    assert p_capped == p_full
+
+    # hot cluster recovered whole (300 docs, one entity, nothing foreign)
+    hot = [g for g in p_capped if any(d.startswith("hot-") for d in g)]
+    assert len(hot) == 1 and len(hot[0]) == 300
+    assert all(d.startswith("hot-") for d in hot[0])
+    # exact dups collapse to one key and one entity
+    dup = [g for g in p_capped if any(d.startswith("dup-") for d in g)]
+    assert len(dup) == 1 and len(dup[0]) == 150
+
+    # F1 >= 0.99 against ground truth on the capped (sub-quadratic) run
+    truth = docs.select("doc_id", F.col("entity_id").alias("t"))
+    pred = capped["entities"].select("doc_id", F.col("entity_id").alias("p"))
+    m = pairwise_f1(truth.join(pred, "doc_id"), truth_col="t", pred_col="p")
+    assert m["f1"] >= 0.99, m
+    docs.unpersist()
