@@ -1,18 +1,23 @@
-"""Pure-stdlib baseline JPEG decoder (SOF0/SOF1, Huffman, 8-bit).
+"""Pure-stdlib JPEG decoder: baseline/extended sequential (SOF0/SOF1) AND
+progressive (SOF2), Huffman, 8-bit.
 
-Removes the PIL runtime dependency for the overwhelmingly common JPEG
-variant: baseline sequential DCT with Huffman entropy coding — what phone
-cameras, web encoders, and libjpeg default output all emit. Supported:
+Removes the PIL runtime dependency for the JPEG variants real corpora
+actually contain — sequential (what cameras and libjpeg default output
+emit) and progressive (what web optimizers emit). Supported:
 
 - 1-component (grayscale) and 3-component (YCbCr) frames
 - arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 chroma subsampling)
 - 8- and 16-bit quantization tables, multiple DQT/DHT segments
 - restart markers (DRI) with DC-predictor + bit-alignment reset
 - byte stuffing (FF 00) in the entropy stream
+- progressive spectral selection + successive approximation: DC/AC first
+  and refinement scans (EOB runs, ZRL-interleaved correction bits —
+  spec G.1.2.2/G.1.2.3), accumulated per-component, one batched IDCT at
+  the end
 
 NOT supported (raise NotImplementedError so `media._decode_bytes` can fall
-back to PIL when it exists): progressive (SOF2), lossless/hierarchical
-SOFs, arithmetic coding, 12-bit precision.
+back to PIL when it exists): lossless/hierarchical SOFs, arithmetic
+coding, 12-bit precision.
 
 The per-block Huffman walk is a Python bit reader — fine for the feature
 path's thumbnails (decode cost is per-image, Arrow-batched across the
@@ -46,7 +51,6 @@ ZIGZAG = np.array(
 )
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive",
     0xC3: "lossless",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -129,9 +133,10 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
 
-def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """Entropy-coded segments after SOS, split at restart markers, with
-    FF 00 byte stuffing removed; stops at any other marker (EOI/next SOS)."""
+    FF 00 byte stuffing removed; stops at any other marker (EOI/next SOS).
+    Returns (segments, index of the terminating marker's 0xFF byte)."""
     segs: list[bytes] = []
     cur = bytearray()
     i = pos
@@ -153,7 +158,7 @@ def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
         else:
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 def _decode_block(bits: _Bits, dc_tbl: dict, ac_tbl: dict, pred: int) -> tuple[int, np.ndarray]:
@@ -180,13 +185,23 @@ def _decode_block(bits: _Bits, dc_tbl: dict, ac_tbl: dict, pred: int) -> tuple[i
 
 
 def decode_baseline_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 array (h, w) grayscale or (h, w, 3) RGB."""
+    """JPEG bytes -> uint8 array (h, w) grayscale or (h, w, 3) RGB.
+
+    Handles baseline/extended sequential (SOF0/SOF1, single scan) AND
+    progressive (SOF2: spectral selection + successive approximation —
+    DC/AC first and refinement scans accumulated into per-component
+    coefficient arrays, one IDCT at the end). The name is historical —
+    kept because it is the public swap point `media._decode_bytes` uses.
+    """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    progressive = False
+    coef = None  # progressive: per-component zigzag coefficient arrays
+    eobrun_box = [0]
     restart_interval = 0
     i = 2
     n = len(data)
@@ -196,6 +211,8 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
             continue
         marker = data[i + 1]
         i += 2
+        if marker == 0xD9 and progressive and coef is not None:  # EOI
+            return _finish_progressive(frame, qt, coef)
         if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
             continue  # fill bytes, TEM, RSTn, SOI/EOI — no payload
         (ln,) = struct.unpack(">H", data[i : i + 2])
@@ -216,10 +233,11 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 else:
                     qt[tq] = np.frombuffer(seg, ">u2", 64, pos).astype(np.int32)
                     pos += 128
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8-bit)")
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -240,19 +258,241 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = build_huffman(counts, syms)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS — decode the scan and return
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan = {}
+            scan_order = []
             for c in range(ns):
                 cs, t = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (t >> 4, t & 15)
-            return _decode_scan(
-                data, i + ln, frame, qt, huff_dc, huff_ac, scan, restart_interval
+                scan_order.append(cs)
+            if not progressive:
+                return _decode_scan(
+                    data, i + ln, frame, qt, huff_dc, huff_ac, scan, restart_interval
+                )
+            if coef is None:
+                coef = _alloc_coef(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            i = _decode_progressive_scan(
+                data, i + ln, frame, coef, huff_dc, huff_ac, scan, scan_order,
+                (ss, se, ahal >> 4, ahal & 15), restart_interval,
             )
+            continue
         i += ln
+    if progressive and coef is not None:  # truncated file without EOI
+        return _finish_progressive(frame, qt, coef)
     raise ValueError("JPEG has no SOS scan")
+
+
+#: alias — the decoder covers sequential AND progressive JPEG
+decode_jpeg = decode_baseline_jpeg
+
+
+def _comp_geometry(frame):
+    """Per-component block geometry: padded (MCU-aligned) grid and the TRUE
+    grid (spec A.2.2 — non-interleaved scans code only the true blocks)."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    geo = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)  # component samples, ceil
+        ch = -(-h * c["v"] // vmax)
+        geo.append({
+            "pad_bx": mcus_x * c["h"], "pad_by": mcus_y * c["v"],
+            "true_bx": -(-cw // 8), "true_by": -(-ch // 8),
+        })
+    return mcus_x, mcus_y, geo
+
+
+def _alloc_coef(frame):
+    _, _, geo = _comp_geometry(frame)
+    return [
+        np.zeros((g["pad_by"], g["pad_bx"], 64), dtype=np.int32) for g in geo
+    ]
+
+
+def _decode_progressive_scan(
+    data, pos, frame, coef, huff_dc, huff_ac, scan, scan_order, band, restart_interval
+):
+    """One progressive SOS: fills `coef` in place, returns the index of the
+    marker that terminated the entropy data (spec G.2: DC scans may be
+    interleaved, AC scans are always single-component / non-interleaved)."""
+    h, w, comps = frame
+    ss, se, ah, al = band
+    mcus_x, mcus_y, geo = _comp_geometry(frame)
+    segs, end = _entropy_segments(data, pos)
+    seg_i = 0
+    bits = _Bits(segs[0])
+    eob = [0]  # EOB run shared across blocks, reset at restarts
+
+    in_scan = [ci for ci, c in enumerate(comps) if c["id"] in scan]
+    interleaved = len(in_scan) > 1
+
+    def restart_check(unit, preds):
+        nonlocal bits, seg_i
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated: missing restart segment")
+            bits = _Bits(segs[seg_i])
+            preds[:] = [0] * len(preds)
+            eob[0] = 0
+
+    if ss == 0:  # DC scan (first or refinement)
+        preds = [0] * len(comps)
+        if interleaved:
+            # iterate MCU-major with restart on MCU boundaries
+            for mcu in range(mcus_x * mcus_y):
+                restart_check(mcu, preds)
+                my, mx = divmod(mcu, mcus_x)
+                for ci in in_scan:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coef[ci][my * c["v"] + by, mx * c["h"] + bx]
+                            _dc_unit(bits, huff_dc, scan, c, preds, ci, blk, ah, al)
+        else:
+            ci = in_scan[0]
+            g = geo[ci]
+            for u in range(g["true_by"] * g["true_bx"]):
+                restart_check(u, preds)
+                by, bx = divmod(u, g["true_bx"])
+                _dc_unit(bits, huff_dc, scan, comps[ci], preds, ci, coef[ci][by, bx], ah, al)
+    else:  # AC scan — always non-interleaved (one component)
+        if interleaved:
+            raise ValueError("progressive AC scan with >1 component")
+        ci = in_scan[0]
+        g = geo[ci]
+        ac_tbl = huff_ac[scan[comps[ci]["id"]][1]]
+        dummy = [0]
+        for u in range(g["true_by"] * g["true_bx"]):
+            restart_check(u, dummy)
+            by, bx = divmod(u, g["true_bx"])
+            zz = coef[ci][by, bx]
+            if ah == 0:
+                _ac_first(bits, ac_tbl, zz, ss, se, al, eob)
+            else:
+                _ac_refine(bits, ac_tbl, zz, ss, se, al, eob)
+    return end
+
+
+def _dc_unit(bits, huff_dc, scan, c, preds, ci, blk, ah, al):
+    if ah == 0:  # DC first: diff-coded, stored at Al precision
+        t = bits.huff(huff_dc[scan[c["id"]][0]])
+        preds[ci] += _extend(bits.read(t), t) if t else 0
+        blk[0] = preds[ci] << al
+    else:  # DC refinement: one bit per block
+        if bits.read1():
+            blk[0] |= 1 << al
+
+
+def _ac_first(bits, ac_tbl, zz, ss, se, al, eob):
+    """AC first scan for one block (spec G.1.2.2): EOB runs + new coeffs."""
+    if eob[0] > 0:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = bits.huff(ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eob[0] = (1 << r) - 1  # EOBn: covers this block + (run-1) more
+            if r:
+                eob[0] += bits.read(r)
+            break
+        k += r
+        if k > se:
+            break
+        zz[k] = _extend(bits.read(s), s) << al
+        k += 1
+
+
+def _ac_refine(bits, ac_tbl, zz, ss, se, al, eob):
+    """AC refinement scan for one block (spec G.1.2.3): correction bits for
+    history-nonzero coefficients, +-1<<Al insertions for new ones."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(k_):
+        if bits.read1() and (int(zz[k_]) & p1) == 0:
+            zz[k_] += p1 if zz[k_] >= 0 else m1
+
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = bits.huff(ac_tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:  # EOBn
+                    eob[0] = 1 << r
+                    if r:
+                        eob[0] += bits.read(r)
+                    break
+                s = 0  # ZRL: skip 16 zero-history coeffs below
+            else:
+                s = p1 if bits.read1() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = s
+            k += 1
+    if eob[0] > 0:
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eob[0] -= 1
+
+
+def _finish_progressive(frame, qt, coef):
+    """Dequantize + batch-IDCT the accumulated coefficients, assemble."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    m = _idct_mat()
+    full = []
+    for ci, c in enumerate(comps):
+        zz = coef[ci].astype(np.float64) * qt[c["tq"]][None, None, :]
+        by, bx = zz.shape[:2]
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz
+        blocks = nat.reshape(by, bx, 8, 8)
+        # batched 2-D IDCT: spatial = M.T @ C @ M per 8x8 block
+        spat = np.einsum("ij,abjk,kl->abil", m.T, blocks, m) + 128.0
+        plane = spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        if c["v"] < vmax:
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        if c["h"] < hmax:
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0].round(), 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        raise NotImplementedError(f"JPEG with {len(full)} components (1 or 3 only)")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(rgb.round(), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, frame, qt, huff_dc, huff_ac, scan, restart_interval):
@@ -268,7 +508,7 @@ def _decode_scan(data, pos, frame, qt, huff_dc, huff_ac, scan, restart_interval)
         planes.append(
             np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
         )
-    segs = _entropy_segments(data, pos)
+    segs, _ = _entropy_segments(data, pos)
     seg_i = 0
     bits = _Bits(segs[0])
     preds = [0] * len(comps)

@@ -327,10 +327,10 @@ def _decode_bytes(data: bytes, feat_dim: int) -> tuple[str, int, int, int, np.nd
         rate, nch, x = _decode_wav(data)
         return "audio", rate, nch, len(x), _audio_feature(x, feat_dim)
     if data[:3] == b"\xff\xd8\xff":
-        # jpeg: baseline (SOF0/SOF1 Huffman — what cameras and web encoders
-        # emit) decodes with the pure-stdlib decoder, no PIL needed; the
-        # variants it refuses (progressive, arithmetic, 12-bit) fall back
-        # to PIL when installed at runtime.
+        # jpeg: sequential (SOF0/SOF1) AND progressive (SOF2) decode with
+        # the pure-stdlib decoder, no PIL needed; the exotic variants it
+        # refuses (arithmetic, lossless, 12-bit) fall back to PIL when
+        # installed at runtime.
         from fozzie_spark.jpeg import decode_baseline_jpeg
 
         try:
@@ -340,9 +340,9 @@ def _decode_bytes(data: bytes, feat_dim: int) -> tuple[str, int, int, int, np.nd
                 from PIL import Image  # noqa: PLC0415
             except ImportError as e:
                 raise NotImplementedError(
-                    "non-baseline jpeg (progressive/arithmetic/12-bit) needs "
-                    "PIL/pillow, not installed here; baseline jpeg + "
-                    "netpbm/PNG/WAV decode with the stdlib"
+                    "exotic jpeg (arithmetic/lossless/12-bit) needs "
+                    "PIL/pillow, not installed here; sequential + "
+                    "progressive jpeg, netpbm/PNG/WAV decode with the stdlib"
                 ) from e
             img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"), dtype=np.uint8)
         grid = max(int(feat_dim**0.5), 1)

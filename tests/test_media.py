@@ -261,9 +261,10 @@ def test_jpeg_decode_via_pil():
     assert len(feat) == 16
 
 
-def test_non_baseline_jpeg_without_pil_raises_not_implemented():
-    # baseline jpegs decode with the stdlib (tests/test_jpeg.py); only the
-    # NON-baseline variants (progressive SOF2 etc.) still need PIL
+def test_exotic_jpeg_without_pil_raises_not_implemented():
+    # sequential AND progressive jpegs decode with the stdlib
+    # (tests/test_jpeg.py); only the exotic variants (arithmetic SOF9
+    # etc.) still need PIL
     import struct
 
     from fozzie_spark.media import _decode_bytes
@@ -274,10 +275,10 @@ def test_non_baseline_jpeg_without_pil_raises_not_implemented():
         pytest.skip("PIL installed — the no-PIL path is not reachable here")
     except ImportError:
         pass
-    sof2 = (b"\xff\xc2" + struct.pack(">H", 11)
+    sof9 = (b"\xff\xc9" + struct.pack(">H", 11)
             + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
     with pytest.raises(NotImplementedError, match="PIL"):
-        _decode_bytes(b"\xff\xd8" + sof2 + b"\xff\xd9", 16)
+        _decode_bytes(b"\xff\xd8" + sof9 + b"\xff\xd9", 16)
     # corrupt jpeg bytes are a decode error, not a missing-dependency error
     with pytest.raises(ValueError, match="no SOS"):
         _decode_bytes(b"\xff\xd8\xff\xe0fakejpegbytes", 16)
