@@ -611,3 +611,141 @@ def probe_media(
             )
 
     return src.mapInPandas(_probe_batch, PROBE_SCHEMA)
+
+
+# ---- mp4 sample byte ranges (keyframe extraction plumbing) -------------------
+
+SAMPLE_RANGE_SCHEMA = (
+    "doc_id string, sample_idx int, offset bigint, size bigint, is_sync boolean"
+)
+
+
+def _mp4_sample_table(data: bytes, kind: str = "video"):
+    """(sample_idx, byte_offset, byte_size, is_sync) rows for the first
+    track of `kind`, from the stbl sample tables: stsz (sizes), stsc
+    (chunk -> samples-per-chunk runs), stco/co64 (chunk offsets), stss
+    (sync samples; absent => every sample is sync). Sample indices are
+    0-based; offsets are absolute file positions — at corpus scale these
+    become ranged reads against the object store, no mdat scan."""
+    moov = _find_box(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("no moov box")
+    for fc, tb, te in _iter_boxes(data, *moov):
+        if fc != b"trak":
+            continue
+        mdia = _find_box(data, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(data, *mdia, b"hdlr")
+        want = {"video": b"vide", "audio": b"soun"}.get(kind, kind.encode())
+        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != want:
+            continue
+        minf = _find_box(data, *mdia, b"minf")
+        stbl = _find_box(data, *minf, b"stbl") if minf else None
+        if stbl is None:
+            continue
+        sb, se = stbl
+
+        def full(fourcc):
+            box = _find_box(data, sb, se, fourcc)
+            return box[0] + 4 if box else None  # skip version/flags
+
+        stsz = full(b"stsz")
+        stsc = full(b"stsc")
+        stco, wide = full(b"stco"), False
+        if stco is None:
+            stco, wide = full(b"co64"), True
+        if stsz is None or stsc is None or stco is None:
+            raise ValueError("track is missing stsz/stsc/stco sample tables")
+
+        uniform = int.from_bytes(data[stsz:stsz + 4], "big")
+        n_samples = int.from_bytes(data[stsz + 4:stsz + 8], "big")
+        sizes = (
+            [uniform] * n_samples
+            if uniform
+            else [
+                int.from_bytes(data[stsz + 8 + 4 * i:stsz + 12 + 4 * i], "big")
+                for i in range(n_samples)
+            ]
+        )
+        n_chunks = int.from_bytes(data[stco:stco + 4], "big")
+        step = 8 if wide else 4
+        chunk_offsets = [
+            int.from_bytes(data[stco + 4 + step * i:stco + 4 + step * (i + 1)], "big")
+            for i in range(n_chunks)
+        ]
+        n_stsc = int.from_bytes(data[stsc:stsc + 4], "big")
+        runs = [
+            (
+                int.from_bytes(data[stsc + 4 + 12 * i:stsc + 8 + 12 * i], "big"),
+                int.from_bytes(data[stsc + 8 + 12 * i:stsc + 12 + 12 * i], "big"),
+            )
+            for i in range(n_stsc)
+        ]  # (first_chunk 1-based, samples_per_chunk)
+        sync = None
+        stss = full(b"stss")
+        if stss is not None:
+            n_sync = int.from_bytes(data[stss:stss + 4], "big")
+            sync = {
+                int.from_bytes(data[stss + 4 + 4 * i:stss + 8 + 4 * i], "big") - 1
+                for i in range(n_sync)
+            }
+
+        rows = []
+        si = 0
+        for ci in range(n_chunks):
+            spc = next(
+                (runs[ri][1] for ri in range(len(runs) - 1, -1, -1)
+                 if runs[ri][0] <= ci + 1),
+                runs[0][1] if runs else 0,
+            )
+            off = chunk_offsets[ci]
+            for _ in range(spc):
+                if si >= n_samples:
+                    break
+                rows.append((si, off, sizes[si], sync is None or si in sync))
+                off += sizes[si]
+                si += 1
+        return rows
+    raise ValueError(f"no {kind} track with sample tables")
+
+
+def mp4_sample_ranges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    kind: str = "video",
+    sync_only: bool = False,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Per-sample byte ranges for mp4 media columns: one row per sample
+    (`sync_only=True`: keyframes only), (doc_id, sample_idx, offset, size,
+    is_sync). This is the scale path for frame extraction over a 100-TB
+    corpus: plan the exact byte ranges from the moov index (a few KB per
+    file), then fetch ONLY those ranges — never stream whole videos
+    through the decode stage. Arrow-batched mapInPandas like probe_media;
+    the codec decode of the fetched sample bytes stays out of scope
+    (AVC/HEVC needs a codec — `extract_media_features` documents the
+    same boundary)."""
+    if on_error not in ("skip", "error"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bytes_col).alias("data"))
+
+    def _ranges_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                try:
+                    for si, off, size, is_sync in _mp4_sample_table(bytes(data), kind):
+                        if sync_only and not is_sync:
+                            continue
+                        rows.append((doc_id, si, off, size, is_sync))
+                except Exception:
+                    if on_error == "error":
+                        raise
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_idx", "offset", "size", "is_sync"]
+            )
+
+    return src.mapInPandas(_ranges_batch, SAMPLE_RANGE_SCHEMA)

@@ -363,3 +363,76 @@ def test_probe_media_spark(spark):
     assert got["p1"]["kind"] == "image" and got["p1"]["width"] == 6
     with pytest.raises(Exception):
         probe_media(df, on_error="error").collect()
+
+
+# ---- mp4 sample byte ranges -------------------------------------------------
+
+
+def mp4_bytes_with_samples():
+    """Minimal mp4 with REAL sample tables: 7 samples of sizes
+    10..70 across 3 chunks (stsc runs: chunk 1 -> 3 samples, chunks 2+ ->
+    2), stco absolute offsets into a real mdat, stss sync samples {1, 4}
+    (1-based). Returns (bytes, expected (idx, offset, size, sync) rows)."""
+    i4 = lambda x: x.to_bytes(4, "big")
+    sizes = [10, 20, 30, 40, 50, 60, 70]
+
+    def build(offsets):
+        mvhd = _full(b"mvhd", 0, i4(0) + i4(0) + i4(1000) + i4(2000) + b"\x00" * 80)
+        tkhd = _full(b"tkhd", 0, i4(0) + i4(0) + i4(1) + i4(0) + i4(2000)
+                     + b"\x00" * 52 + i4(64 << 16) + i4(64 << 16))
+        mdhd = _full(b"mdhd", 0, i4(0) + i4(0) + i4(1000) + i4(2000) + i4(0))
+        hdlr = _full(b"hdlr", 0, i4(0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00")
+        stsd = _full(b"stsd", 0, i4(1) + _box(b"avc1", b"\x00" * 70))
+        stsz = _full(b"stsz", 0, i4(0) + i4(len(sizes)) + b"".join(i4(s) for s in sizes))
+        stsc = _full(b"stsc", 0, i4(2) + i4(1) + i4(3) + i4(1) + i4(2) + i4(2) + i4(1))
+        stco = _full(b"stco", 0, i4(len(offsets)) + b"".join(i4(o) for o in offsets))
+        stss = _full(b"stss", 0, i4(2) + i4(1) + i4(4))
+        stbl = _box(b"stbl", stsd + stsz + stsc + stco + stss)
+        mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+        moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+        ftyp = _box(b"ftyp", b"isom" + i4(512) + b"isomiso2avc1mp41")
+        return ftyp + moov
+
+    head = build([0, 0, 0])
+    mdat_payload_at = len(head) + 8  # after mdat size+fourcc
+    o1, o2, o3 = mdat_payload_at, mdat_payload_at + 60, mdat_payload_at + 150
+    data = build([o1, o2, o3]) + _box(b"mdat", bytes(range(256)) + bytes(24))
+    expected = [
+        (0, o1, 10, True), (1, o1 + 10, 20, False), (2, o1 + 30, 30, False),
+        (3, o2, 40, True), (4, o2 + 40, 50, False),
+        (5, o3, 60, False), (6, o3 + 60, 70, False),
+    ]
+    return data, expected
+
+
+def test_mp4_sample_table_local():
+    from fozzie_spark.media import _mp4_sample_table
+
+    data, expected = mp4_bytes_with_samples()
+    assert _mp4_sample_table(data, "video") == expected
+    # samples must land inside the mdat payload
+    for _idx, off, size, _sync in expected:
+        assert off + size <= len(data)
+    with pytest.raises(ValueError, match="no audio track"):
+        _mp4_sample_table(data, "audio")
+    # a track without chunk tables (the plain fixture) is a clear error
+    with pytest.raises(ValueError, match="stsz/stsc/stco"):
+        _mp4_sample_table(mp4_bytes(), "video")
+
+
+def test_mp4_sample_ranges_spark(spark):
+    from fozzie_spark.media import mp4_sample_ranges
+
+    data, expected = mp4_bytes_with_samples()
+    df = spark.createDataFrame(
+        [("v0", bytearray(data)), ("bad", bytearray(b"nonsense"))],
+        "doc_id string, media_bytes binary",
+    )
+    got = sorted(
+        tuple(r) for r in mp4_sample_ranges(df).collect()
+    )
+    assert got == [("v0", i, o, s, y) for i, o, s, y in expected]
+    sync = sorted(tuple(r) for r in mp4_sample_ranges(df, sync_only=True).collect())
+    assert sync == [("v0", 0, expected[0][1], 10, True), ("v0", 3, expected[3][1], 40, True)]
+    with pytest.raises(Exception):
+        mp4_sample_ranges(df, on_error="error").collect()
