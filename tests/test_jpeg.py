@@ -573,3 +573,31 @@ def test_media_decode_features_jpeg_end_to_end(spark):
     out = decode_media_features(df, feat_dim=16, on_error="error").collect()
     got = {r["doc_id"]: (r["kind"], r["width"], r["height"], r["n_frames"]) for r in out}
     assert got == {f"j{i}": ("image", 8 + 2 * i, 8 + i, 1) for i in range(6)}
+
+
+def test_progressive_equals_baseline_property():
+    # property sweep: random images x quant x sampling x restart — the two
+    # codings carry identical coefficients, so decode must be bit-equal
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        h=st.integers(8, 40), w=st.integers(8, 40),
+        qval=st.sampled_from([1, 2, 5, 16]),
+        sampling=st.sampled_from([(1, 1), (2, 1), (2, 2)]),
+        rst=st.sampled_from([0, 3]),
+        gray=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, qval, sampling, rst, gray, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, size=(h, w) if gray else (h, w, 3), dtype=np.uint8)
+        if gray:
+            sampling = (1, 1)
+        base = J.decode_baseline_jpeg(
+            encode_baseline_jpeg(img, sampling=sampling, qval=qval, restart_interval=rst))
+        prog = J.decode_baseline_jpeg(
+            encode_progressive_jpeg(img, sampling=sampling, qval=qval, restart_interval=rst))
+        assert np.array_equal(base, prog)
+
+    check()
