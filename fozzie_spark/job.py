@@ -54,6 +54,11 @@ def build_session(app: str, cpus: str | None = None, shuffle_partitions: int | N
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
+    # experiment/ops passthrough: FZ_SPARK_CONFS="key=value;key=value"
+    for kv in os.environ.get("FZ_SPARK_CONFS", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            b = b.config(k.strip(), v.strip())
     return b.getOrCreate()
 
 
