@@ -55,6 +55,11 @@ def key_id(col):
 #: words by hash so each word stays sparse (~n/8 grams -> low AND noise)
 NSIG = 8
 
+#: per-bin gram-mass signature width for the qgram/cosine edge refine:
+#: discriminating while distinct-gram count << MASS_BINS (name/sentence
+#: keys), graceful pass-through beyond (kilobyte documents)
+MASS_BINS = 128
+
 #: q-grams destroyed per edit, per method (transpositions destroy q+1) —
 #: drives the edit-family short-key block's losslessness cutoff
 _EDIT_DAMAGE = {
@@ -197,12 +202,28 @@ def er_pipeline(
     # 512-bit Bloom signature words (the pairs stage used to attach these
     # via an extra broadcast join per side). One cache, many consumers.
     bloom = method == "jaccard"
+    # qgram/cosine carry the Bloom words too: the edges stage's first-cut
+    # refine is the same AND+popcount test the jaccard pairs stage runs,
+    # with a count-scaled required-shared-grams floor
+    sigs_on_uniq = bloom or method in ("qgram", "cosine")
     # every method's blocking now runs over the per-key cache: jaccard/edit
     # carry the distinct-gram arrays (+ Bloom sigs for jaccard), qgram adds
     # the total multiset count, cosine the gram->count map — so the
     # candidate stage shuffles 16-byte kids + grams, never key strings
     need_grams = bloom or method in _EDIT_DAMAGE or method == "qgram"
     _gs = F.array_distinct(qgrams_col("key", q))
+    # binned multiset entries array<struct<b,c>> for the qgram/cosine edge
+    # refine: gram-hash bin + count, computed ONCE per distinct key at
+    # persist time (inlining the O(g²) count-map expression into the
+    # 128-bin signature lambda re-evaluates it per bin — measured 7x the
+    # whole pipeline wall at small scale)
+    _me = F.transform(
+        F.map_entries(_count_map_col("key", q)),
+        lambda e: F.struct(
+            F.pmod(F.xxhash64(e["key"]), F.lit(MASS_BINS)).cast("int").alias("b"),
+            e["value"].cast("double").alias("c"),
+        ),
+    )
     uniq = (
         keys.select("key", "kid")
         .where(F.col("key").isNotNull())
@@ -213,7 +234,8 @@ def er_pipeline(
             *([_gs.alias("gs"), F.size(_gs).alias("n")] if need_grams else []),
             *([F.size(qgrams_col("key", q)).alias("tc")] if method == "qgram" else []),
             *([_count_map_col("key", q).alias("cm")] if method == "cosine" else []),
-            *(_bloom_sig_cols(_gs) if bloom else []),
+            *([_me.alias("me")] if method in ("qgram", "cosine") else []),
+            *(_bloom_sig_cols(_gs) if sigs_on_uniq else []),
         )
         .persist()
     )
@@ -528,10 +550,39 @@ def er_pipeline(
     refine_dep = ("pairs",)
 
     # ---- stage 3: vectorized scoring -> edges (id pairs + distance) --------
+    _edge_persists: list[DataFrame] = []  # freed after the edges stage writes
+
+    def _mass_sig(power: int):
+        """Dense per-bin gram-mass array over the precomputed binned
+        entries column `me` (array<struct<b,c>>).
+
+        power=2: element i holds sqrt(Σ c²) over the grams landing in bin
+        i — PRE-sqrt'd so the per-pair cosine bound is a pure multiply-add
+        (sqrt(qa·qb) = sqrt(qa)·sqrt(qb); measured 47M × 128 per-pair
+        sqrts are a double-digit share of the filter wall). power=1:
+        element i holds Σ c for the qgram per-bin L1 lower bound.
+        O(MASS_BINS * g) cheap JVM ops per key — computed once per
+        DISTINCT key at dictionary-build time, never per pair."""
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(MASS_BINS - 1)),
+            lambda i: (F.sqrt if power == 2 else (lambda c: c))(
+                F.aggregate(
+                    F.col("me"),
+                    F.lit(0.0),
+                    lambda acc, e: acc
+                    + F.when(
+                        e["b"] == i,
+                        e["c"] * e["c"] if power == 2 else e["c"],
+                    ).otherwise(F.lit(0.0)),
+                )
+            ),
+        )
+
     def _edges():
         # JVM expression scoring when the method allows (jaccard/lv/...):
         # the exact verifier then runs in whole-stage codegen with ZERO
         # Python workers; the Arrow UDF covers the DP methods.
+        refine = None
         if method == "jaccard":
             # score over the PRECOMPUTED distinct-gram arrays on `uniq` —
             # each key's q-gram extraction runs once per key at cache time,
@@ -543,43 +594,150 @@ def er_pipeline(
             dist = F.when(
                 (F.size("__g1") == 0) & (F.size("__g2") == 0), F.lit(0.0)
             ).otherwise(F.lit(1.0) - inter.cast("double") / union.cast("double"))
+        elif method in ("qgram", "cosine"):
+            # Two-tier per-pair refine before the Arrow scorer. The prefix
+            # blocking is lossless but WEAK under hot heavy grams (a shared
+            # boilerplate token forces a pair into the candidate set even
+            # when its true distance is far past tau) — at the bench corpus
+            # 99.9% of cosine candidates fail the threshold. Both tiers run
+            # in whole-stage codegen:
+            #
+            # tier 1 — Bloom AND+popcount (the jaccard pairs-stage cut,
+            #   count-scaled): a true cosine match needs s >= ceil(
+            #   t*na*nb / (cmax_a*cmax_b)) shared DISTINCT grams (dot <=
+            #   s*cmax_a*cmax_b); a true qgram match needs s >= ceil((n_a
+            #   + n_b - tau)/2) (every non-shared distinct gram costs >= 1
+            #   of the L1 budget). Pass floor: floor(s_min/2)-2 shared
+            #   BITS, clamped to 1 — same astronomically-safe collision
+            #   analysis as the jaccard path (s distinct grams collapsing
+            #   into <= floor(s_min/2)-2 of 512 bins: < 1e-12 at s_min=8,
+            #   vanishing beyond; s_min <= 7 clamps to 1 shared bit, which
+            #   one shared gram guarantees). s_min < 1 => tier 1 passes.
+            #
+            # tier 2 — per-bin mass bound, STRICTLY lossless: cosine
+            #   dot(a,b) <= Σ_bins sqrt(qa_i)*sqrt(qb_i) (Cauchy-Schwarz
+            #   per bin, qa_i = Σ c²); qgram dist >= Σ_bins |la_i - lb_i|
+            #   (triangle inequality, la_i = Σ c). Discriminates while
+            #   profile size << MASS_BINS (collision noise adds
+            #   ~g²/MASS_BINS); on kilobyte documents it degrades to
+            #   pass-through — never wrong, just toothless there.
+            sw = [f"s{i}" for i in range(NSIG)]
+            if method == "cosine":
+                nrm = F.sqrt(
+                    F.aggregate(
+                        F.col("me"), F.lit(0.0), lambda acc, e: acc + e["c"] * e["c"]
+                    )
+                )
+                stat = [
+                    nrm.alias("__na"),
+                    F.aggregate(
+                        F.col("me"), F.lit(0.0), lambda acc, e: F.greatest(acc, e["c"])
+                    ).alias("__ca"),
+                ]
+                msig = _mass_sig(2)
+            else:
+                stat = [F.col("n").cast("double").alias("__na")]
+                msig = _mass_sig(1)
+            base = uniq.select(
+                "kid", F.col("key").alias("__k1"), msig.alias("__qa"), *stat, *sw
+            ).persist()
+            _edge_persists.append(base)
+            dict_a = base
+            ren = {"kid": "kid2", "__k1": "__k2", "__qa": "__qb", "__na": "__nb",
+                   "__ca": "__cb", **{s: s + "_2" for s in sw}}
+            dict_b = base.select([F.col(c).alias(ren.get(c, c)) for c in base.columns])
+            shared_bits = sum(
+                F.bit_count(F.col(f"s{i}").bitwiseAND(F.col(f"s{i}_2")))
+                for i in range(NSIG)
+            )
+            if method == "cosine":
+                s_min = F.ceil(
+                    F.lit(1.0 - max_distance) * F.col("__na") * F.col("__nb")
+                    / (F.col("__ca") * F.col("__cb"))
+                    - F.lit(1e-9)
+                )
+                # strictly-lossless tier 2: dot_ub >= t*na*nb (eps guards
+                # ulp-level skew vs the exact scorer; empty profiles score
+                # dist 1.0, unreachable at max_distance < 1 — enforced at
+                # entry — so (na>0 & nb>0) is a valid prune)
+                dot_ub = F.aggregate(
+                    F.zip_with("__qa", "__qb", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                tier2 = (F.col("__na") > 0) & (F.col("__nb") > 0) & (
+                    dot_ub
+                    >= F.lit(1.0 - max_distance) * F.col("__na") * F.col("__nb")
+                    - F.lit(1e-9)
+                )
+            else:
+                s_min = F.ceil(
+                    (F.col("__na") + F.col("__nb") - F.lit(float(max_distance))) / 2
+                    - F.lit(1e-9)
+                )
+                dist_lb = F.aggregate(
+                    F.zip_with("__qa", "__qb", lambda x, y: F.abs(x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                tier2 = dist_lb <= F.lit(float(max_distance) + 1e-9)
+            tier1 = (s_min < 1) | (
+                shared_bits >= F.greatest(F.floor(s_min / 2) - 2, F.lit(1))
+            )
+            if method == "cosine":
+                # explicit empty-profile guard: cmax = 0 would make s_min
+                # NaN via 0/0 — those pairs score dist 1.0 (> max_distance,
+                # enforced < 1 at entry), so pruning them outright is exact
+                tier1 = (F.col("__ca") > 0) & (F.col("__cb") > 0) & tier1
+            refine = tier1 & tier2
+            # ER keys are DOCUMENTS: the JVM profile expressions count
+            # each gram via an O(g) array filter => O(g²) per pair,
+            # quadratic in document length. The Arrow scorer builds
+            # dict profiles in O(g), which wins decisively on long
+            # keys (JVM wins only on name-length strings).
+            dist = None
         else:
             dict_a = uniq.select("kid", F.col("key").alias("__k1"))
             dict_b = uniq.select(F.col("kid").alias("kid2"), F.col("key").alias("__k2"))
-            if method in ("qgram", "cosine"):
-                # ER keys are DOCUMENTS: the JVM profile expressions count
-                # each gram via an O(g) array filter => O(g²) per pair,
-                # quadratic in document length. The Arrow scorer builds
-                # dict profiles in O(g), which wins decisively on long
-                # keys (JVM wins only on name-length strings).
-                dist = None
-            else:
-                dist = jvm_distance_col(method, "__k1", "__k2", max_distance, q=q)
-            if dist is None:
-                extra = (
-                    {"prefix_weight": prefix_weight, "max_prefix": max_prefix}
-                    if method in ("jaro", "jw")
-                    else {"q": q}
-                )
-                udf = string_distance_udf(method, max_distance=max_distance, **extra)
-                dist = udf(F.col("__k1"), F.col("__k2"))
+            dist = jvm_distance_col(method, "__k1", "__k2", max_distance, q=q)
+        if dist is None:
+            extra = (
+                {"prefix_weight": prefix_weight, "max_prefix": max_prefix}
+                if method in ("jaro", "jw")
+                else {"q": q}
+            )
+            udf = string_distance_udf(method, max_distance=max_distance, **extra)
+            dist = udf(F.col("__k1"), F.col("__k2"))
         n_u, key_bytes = _uniq_stat()
         # the dictionaries carry the key text (or its gram array — same
-        # order of magnitude), so gate on BYTES as well as rows: the
-        # broadcast build funnels the whole dictionary through the driver's
-        # task-result path. Past the gate, the dictionaries shuffle-join
-        # (measured equal at 32 cores; on a cluster it parallelizes).
-        if n_u < 5_000_000 and key_bytes < (256 << 20):
+        # order of magnitude) PLUS the mass-signature arrays (MASS_BINS
+        # doubles/key on qgram/cosine), so gate on BYTES as well as rows:
+        # a broadcast build funnels the whole dictionary through the
+        # driver's task-result path. Past the gate, the dictionaries
+        # shuffle-join (measured equal at 32 cores; on a cluster it
+        # parallelizes).
+        dict_bytes = key_bytes + (
+            # msig doubles + Bloom words + per-key stats
+            n_u * (MASS_BINS * 8 + NSIG * 8 + 48) if refine is not None else 0
+        )
+        if n_u < 5_000_000 and dict_bytes < (256 << 20):
             dict_a, dict_b = F.broadcast(dict_a), F.broadcast(dict_b)
+        out = scored_input.join(dict_a, "kid").join(dict_b, "kid2")
+        if refine is not None:
+            # bound filter runs JVM-side BEFORE the Arrow scorer: project
+            # the signature payloads away so survivors cross to Python as
+            # bare key strings
+            out = out.where(refine).select("kid", "kid2", "__k1", "__k2")
         return (
-            scored_input.join(dict_a, "kid")
-            .join(dict_b, "kid2")
-            .withColumn("dist", dist)
+            out.withColumn("dist", dist)
             .where(F.col("dist") <= max_distance)
             .select("kid", "kid2", "dist")
         )
 
     edges = runner.stage("edges", _edges, params=params, depends_on=refine_dep)
+    for f in _edge_persists:  # edges output is parquet-backed now
+        f.unpersist()
+    _edge_persists.clear()
 
     # ---- stage 4: transitive clustering over key ids ------------------------
     def _clusters():

@@ -487,3 +487,38 @@ def test_pipeline_hot_key_skew(spark, tmp_path):
     m = pairwise_f1(truth.join(pred, "doc_id"), truth_col="t", pred_col="p")
     assert m["f1"] >= 0.99, m
     docs.unpersist()
+
+
+def test_edge_refine_lossless_vs_bruteforce(spark, tmp_path):
+    # the qgram/cosine edges stage prunes candidates with the two-tier
+    # signature refine (Bloom popcount + per-bin mass bound) BEFORE exact
+    # scoring — a pruned true match would silently drop recall, so pin the
+    # edge set (pairs AND distances) against an exhaustive all-pairs
+    # rescore with the unit-oracle scorers
+    from fozzie_spark.distances import _cosine_dist, _qgram_dist, qgram_profile
+
+    docs = synth_documents(spark, 400).persist()
+    for method, tau, fn in (("cosine", 0.25, _cosine_dist), ("qgram", 6.0, _qgram_dist)):
+        out = er_pipeline(
+            spark, docs, checkpoint_dir=str(tmp_path / f"refine_{method}"),
+            method=method, max_distance=tau, q=3, resume=False,
+        )
+        edges = {
+            tuple(sorted([(r["kid"]["h1"], r["kid"]["h2"]),
+                          (r["kid2"]["h1"], r["kid2"]["h2"])])): r["dist"]
+            for r in out["edges"].collect()
+        }
+        profs = {
+            (r["kid"]["h1"], r["kid"]["h2"]): qgram_profile(r["key"], 3)
+            for r in out["keys"].select("key", "kid").distinct().collect()
+        }
+        kids = sorted(profs)
+        brute = {}
+        for i in range(len(kids)):
+            for j in range(i + 1, len(kids)):
+                d = fn(profs[kids[i]], profs[kids[j]])
+                if d <= tau:
+                    brute[(kids[i], kids[j])] = d
+        assert set(edges) == set(brute), method
+        assert all(abs(edges[k] - brute[k]) < 1e-12 for k in brute), method
+    docs.unpersist()
