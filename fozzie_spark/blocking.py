@@ -409,11 +409,29 @@ def ngram_candidates(
     return _cosine_prefix_candidates(lkeys, rkeys, lkey, rkey, max_distance, q)
 
 
+def _popcount_cut(s_min, sig_words: int, suffix: str = "_2"):
+    """Count-scaled Bloom AND+popcount pass predicate over carried
+    signature words __fz_sig{i} / __fz_sig{i}<suffix>.
+
+    A pair whose true match requires s_min shared DISTINCT grams must
+    share >= max(floor(s_min/2)-2, 1) signature bits; s_min < 1 always
+    passes. Same astronomically-safe collision analysis as the jaccard
+    pairs-stage cut (s distinct grams collapsing into <= floor(s_min/2)-2
+    of 512 bins: < 1e-12 at s_min=8, vanishing beyond; s_min <= 7 clamps
+    to 1 shared bit, which one shared gram guarantees)."""
+    shared = sum(
+        F.bit_count(F.col(f"__fz_sig{i}").bitwiseAND(F.col(f"__fz_sig{i}{suffix}")))
+        for i in range(sig_words)
+    )
+    return (s_min < 1) | (shared >= F.greatest(F.floor(s_min / 2) - 2, F.lit(1)))
+
+
 def qgram_candidates_ids(
     prof: DataFrame,
     id_col: str,
     max_distance: float,
     prefix_mode: str = "prefix",
+    sig_words: int = 0,
 ) -> DataFrame:
     """SELF-join qgram-distance candidates over a precomputed profile frame,
     shuffling only fixed-width ids + grams — never key strings (the
@@ -425,12 +443,21 @@ def qgram_candidates_ids(
     distinct gram missing from the other side contributes >= 1 to the
     distance, so dist <= tau forces the rarity-ordered tau+1 prefixes to
     intersect (lossless); no-shared-gram pairs (dist = tc1 + tc2) are
-    covered by the small-profile block; |tc1 - tc2| <= tau prunes after.
+    covered by the small-profile block; |tc1 - tc2| <= tau prunes inline.
+
+    sig_words > 0: `prof` also carries Bloom words __fz_sig0..N-1 (the
+    pipeline's 512-bit gram signature); they ride the exploded token rows
+    (the jaccard pairs-stage design — sequential shuffle bytes beat 2
+    random broadcast probes per raw candidate) and the count-scaled
+    popcount cut (`_popcount_cut`, s_min = ceil((n1 + n2 - tau)/2) from
+    the per-missing-gram L1 cost) runs INSIDE the candidate join, before
+    the pair stream hits the distinct's shuffle.
 
     Returns distinct (id_col, id_col+"2") pairs with id < id2.
     """
     tau = max_distance
     id2 = id_col + "2"
+    sigw = [f"__fz_sig{i}" for i in range(sig_words)]
     counts = prof.select(id_col, F.col("__fz_tc"))
     zb = F.floor(F.col("__fz_tc") / F.lit(int(tau) + 1))
     small_side = counts.filter(F.col("__fz_tc") <= tau).select(
@@ -446,20 +473,46 @@ def qgram_candidates_ids(
         .filter((F.col(id_col) < F.col(id2)) & (F.col("__fz_tc") + F.col("__fz_tc2") <= tau))
         .select(id_col, id2)
     )
-    tok = prof.select(id_col, F.explode("__fz_gs").alias("__fz_g"))
+    carry = ["__fz_tc", F.size("__fz_gs").alias("__fz_n"), *sigw] if sig_words else []
+    tok = prof.select(id_col, *carry, F.explode("__fz_gs").alias("__fz_g"))
+    carry_names = ["__fz_tc", "__fz_n", *sigw] if sig_words else []
     if prefix_mode == "simple":
         lp = tok
     else:
-        gram_df = tok.groupBy("__fz_g").agg(F.count(F.lit(1)).alias("__fz_df"))
+        gram_df = tok.select(id_col, "__fz_g").groupBy("__fz_g").agg(
+            F.count(F.lit(1)).alias("__fz_df")
+        )
         agg = (
             tok.join(gram_df, "__fz_g")
             .groupBy(id_col)
-            .agg(F.array_sort(F.collect_list(F.struct("__fz_df", "__fz_g"))).alias("__fz_s"))
+            .agg(
+                F.array_sort(F.collect_list(F.struct("__fz_df", "__fz_g"))).alias("__fz_s"),
+                *[F.first(c).alias(c) for c in carry_names],
+            )
         )
         plen = F.least(F.size("__fz_s"), F.lit(int(tau) + 1)).cast("int")
         lp = agg.select(
-            id_col, F.explode(F.slice("__fz_s", 1, plen)).alias("__fz_e")
-        ).select(id_col, F.col("__fz_e.__fz_g").alias("__fz_g"))
+            id_col, *carry_names, F.explode(F.slice("__fz_s", 1, plen)).alias("__fz_e")
+        ).select(id_col, *carry_names, F.col("__fz_e.__fz_g").alias("__fz_g"))
+    if sig_words:
+        ren = {id_col: id2, **{c: c + "_2" for c in carry_names}}
+        rp = lp.select(
+            [F.col(c).alias(ren.get(c, c)) for c in lp.columns]
+        )
+        s_min = F.ceil(
+            (F.col("__fz_n") + F.col("__fz_n_2") - F.lit(float(tau))) / 2 - F.lit(1e-9)
+        )
+        return (
+            lp.join(rp, "__fz_g")
+            .where(
+                (F.col(id_col) < F.col(id2))
+                & (F.abs(F.col("__fz_tc") - F.col("__fz_tc_2")) <= tau)
+                & _popcount_cut(s_min, sig_words)
+            )
+            .select(id_col, id2)
+            .unionByName(small)
+            .distinct()
+        )
     cand = (
         lp.join(lp.select(F.col(id_col).alias(id2), "__fz_g"), "__fz_g")
         .where(F.col(id_col) < F.col(id2))
@@ -483,6 +536,7 @@ def cosine_candidates_ids(
     id_col: str,
     max_distance: float,
     prefix_mode: str = "prefix",
+    sig_words: int = 0,
 ) -> DataFrame:
     """SELF-join multiset-cosine candidates over a precomputed profile
     frame — the id-keyed twin of `_cosine_prefix_candidates` (weighted
@@ -496,11 +550,20 @@ def cosine_candidates_ids(
     both directions). Empty profiles have no tokens and cosine dist 1.0 —
     unreachable at tau < 1 (callers refuse tau >= 1).
 
+    sig_words > 0: `prof` also carries Bloom words __fz_sig0..N-1; they
+    ride the token rows and the count-scaled popcount cut
+    (`_popcount_cut`, s_min = ceil(t*nrm1*nrm2/(cmax1*cmax2)) from
+    dot <= s*cmax1*cmax2) runs INSIDE the candidate join, before the
+    pair stream hits the distinct's shuffle.
+
     Returns distinct (id_col, id_col+"2") pairs with id < id2.
     """
     if max_distance >= 1.0:
         raise ValueError("cosine_candidates_ids requires max_distance < 1")
     id2 = id_col + "2"
+    t = 1.0 - float(max_distance)
+    sigw = [f"__fz_sig{i}" for i in range(sig_words)]
+    stat_names = ["__fz_nrm", "__fz_cx", *sigw] if sig_words else []
     nrm = F.sqrt(
         F.aggregate(
             F.map_values("__fz_cm").cast("array<double>"),
@@ -508,12 +571,31 @@ def cosine_candidates_ids(
             lambda acc, c: acc + c * c,
         )
     )
+    carry0 = (
+        [F.array_max(F.map_values("__fz_cm")).cast("double").alias("__fz_cx"), *sigw]
+        if sig_words
+        else []
+    )
     tok = (
-        prof.select(id_col, F.explode("__fz_cm").alias("__fz_g", "__fz_c"), nrm.alias("__fz_nrm"))
-        .select(id_col, "__fz_g", (F.col("__fz_c") / F.col("__fz_nrm")).alias("__fz_w"))
+        prof.select(
+            id_col,
+            F.explode("__fz_cm").alias("__fz_g", "__fz_c"),
+            nrm.alias("__fz_nrm"),
+            *carry0,
+        )
+        .select(
+            id_col,
+            "__fz_g",
+            (F.col("__fz_c") / F.col("__fz_nrm")).alias("__fz_w"),
+            *stat_names,
+        )
     )
     if prefix_mode == "simple":
-        indexed = tok.select(F.col(id_col).alias(id2), "__fz_g")
+        indexed = tok.select(
+            F.col(id_col).alias(id2),
+            "__fz_g",
+            *[F.col(c).alias(c + "_2") for c in stat_names],
+        )
     else:
         t_eff = (1.0 - float(max_distance)) - 1e-9
         t_sq = t_eff * t_eff
@@ -526,6 +608,7 @@ def cosine_candidates_ids(
             (F.col("__fz_w") * F.col("__fz_mw")).alias("__fz_b"),
             (F.col("__fz_w") * F.col("__fz_w")).alias("__fz_sq"),
             "__fz_df",
+            *stat_names,
         )
         agg = rj.groupBy(id_col).agg(
             F.array_sort(
@@ -537,7 +620,8 @@ def cosine_candidates_ids(
                         F.col("__fz_g").alias("g"),
                     )
                 )
-            ).alias("__fz_s")
+            ).alias("__fz_s"),
+            *[F.first(c).alias(c) for c in stat_names],
         )
 
         def _cums(field):
@@ -558,15 +642,23 @@ def cosine_candidates_ids(
         p = F.size(F.filter(heads_ok, lambda v: v))
         indexed = agg.select(
             F.col(id_col).alias(id2),
+            *[F.col(c).alias(c + "_2") for c in stat_names],
             F.explode(
                 F.slice("__fz_s", p + 1, F.greatest(F.size("__fz_s") - p, F.lit(0)))
             ).alias("__fz_e"),
-        ).select(id2, F.col("__fz_e.g").alias("__fz_g"))
+        ).select(id2, *[c + "_2" for c in stat_names], F.col("__fz_e.g").alias("__fz_g"))
+    joined = tok.select(id_col, "__fz_g", *stat_names).join(indexed, "__fz_g").where(
+        F.col(id_col) != F.col(id2)
+    )
+    if sig_words:
+        s_min = F.ceil(
+            F.lit(t) * F.col("__fz_nrm") * F.col("__fz_nrm_2")
+            / (F.col("__fz_cx") * F.col("__fz_cx_2"))
+            - F.lit(1e-9)
+        )
+        joined = joined.where(_popcount_cut(s_min, sig_words))
     return (
-        tok.select(id_col, "__fz_g")
-        .join(indexed, "__fz_g")
-        .where(F.col(id_col) != F.col(id2))
-        .select(
+        joined.select(
             F.least(id_col, id2).alias(id_col), F.greatest(id_col, id2).alias(id2)
         )
         .distinct()

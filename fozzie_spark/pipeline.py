@@ -295,17 +295,23 @@ def er_pipeline(
                 if 2 * _n_uniq() >= B.PREFIX_AUTO_KEY_THRESHOLD
                 else "simple"
             )
+            # the Bloom words ride into the builders so the count-scaled
+            # popcount cut (blocking._popcount_cut) runs inside the
+            # candidate join, BEFORE the distinct's shuffle — at the 20k
+            # cosine bench that cut kills 92% of the raw pair stream
+            _sw = [F.col(f"s{i}").alias(f"__fz_sig{i}") for i in range(NSIG)]
             if method == "qgram":
                 prof = uniq.select(
-                    "kid", F.col("gs").alias("__fz_gs"), F.col("tc").alias("__fz_tc")
+                    "kid", F.col("gs").alias("__fz_gs"), F.col("tc").alias("__fz_tc"),
+                    *_sw,
                 )
                 cand = B.qgram_candidates_ids(
-                    prof, "kid", max_distance, prefix_mode=mode
+                    prof, "kid", max_distance, prefix_mode=mode, sig_words=NSIG
                 )
             else:
-                prof = uniq.select("kid", F.col("cm").alias("__fz_cm"))
+                prof = uniq.select("kid", F.col("cm").alias("__fz_cm"), *_sw)
                 cand = B.cosine_candidates_ids(
-                    prof, "kid", max_distance, prefix_mode=mode
+                    prof, "kid", max_distance, prefix_mode=mode, sig_words=NSIG
                 )
             obs = Observation()
             cand = cand.observe(obs, F.count(F.lit(1)).alias("raw_candidates"))
