@@ -100,6 +100,7 @@ _QUERY_ORDER = [
     "cosine_pairs",
     "cosine_topk",
     "lsh_cosine_pairs",
+    "ivf_topk",
     "media_decode",
     "media_probe",
     "near_dedup",
@@ -132,8 +133,7 @@ _QUERY_ORDER = [
     "string_lv_semi_anti",
     "string_multikey_inner",
     # non-string join families
-    "difference_inner",
-    "difference_left",
+    "difference_inner_left",
     "difference_semi_anti",
     "difference_multikey_inner",
     "temporal_inner",
@@ -236,28 +236,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["string_multikey_inner"] = _multikey
 
     # ---- difference / temporal -------------------------------------------
-    def _diff(s, d):
-        cust = s.read.parquet(f"{d}/customer.parquet")
-        supp = s.read.parquet(f"{d}/supplier.parquet")
-        out = difference_join(
-            cust, supp, by={"c_acctbal": "s_acctbal"}, max_distance=0.5, distance_col="dist"
-        )
-        return out.select(
-            "c_custkey", "s_suppkey", F.round("dist", 6).alias("dist")
-        )
-
-    q["difference_inner"] = _diff
-
-    def _diff_left(s, d):
+    def _diff_inner_left(s, d):
+        # inner + left materialization in one tagged row (gate-slot economy:
+        # the 50-row driver window must cover every component family)
         cust = s.read.parquet(f"{d}/customer.parquet").select("c_custkey", "c_acctbal")
         supp = s.read.parquet(f"{d}/supplier.parquet").select("s_suppkey", "s_acctbal")
-        out = difference_join(
-            cust, supp, by={"c_acctbal": "s_acctbal"}, how="left", max_distance=0.5,
-            distance_col="dist",
-        )
-        return out.select("c_custkey", "s_suppkey", F.round("dist", 6).alias("dist"))
 
-    q["difference_left"] = _diff_left
+        def one(how):
+            out = difference_join(
+                cust, supp, by={"c_acctbal": "s_acctbal"}, how=how,
+                max_distance=0.5, distance_col="dist",
+            )
+            return out.select(
+                "c_custkey", "s_suppkey", F.round("dist", 6).alias("dist"),
+                F.lit(how).alias("mode"),
+            )
+
+        return one("inner").unionByName(one("left"))
+
+    q["difference_inner_left"] = _diff_inner_left
 
     def _temporal(s, d):
         ev = s.read.parquet(f"{d}/events.parquet").where(F.col("event_type") == "error")
@@ -625,6 +622,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cosine_topk"] = _topk
+
+    def _ivf_topk(s, d):
+        # full-probe configuration (n_probe == n_cells) so the whole IVF
+        # chain — sampled spherical-kmeans quantizer, per-batch matmul cell
+        # assignment, cell equi-join, exact re-rank — is deterministically
+        # EXACT and oracle-checkable against DuckDB's brute-force top-k
+        # (pinned equal to cosine_topk strategy="exact" in tests); the
+        # partial-probe scale configuration's recall is pinned in
+        # tests/test_ann.py on clustered + uniform corpora
+        emb = _emb(s, d)
+        probes = emb.where(F.col("vec_id") < 20)
+        return ann.ivf_topk(
+            probes, emb, "vec_id", "embedding", k=3, n_cells=8, n_probe=8
+        ).select(
+            "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+        )
+
+    q["ivf_topk"] = _ivf_topk
 
     def _lsh_pairs(s, d):
         # Approximate by design (recall < 1, pinned >= 0.95 in tests), so an
@@ -1130,15 +1145,16 @@ def oracle_sql() -> dict[str, str]:
     """
 
     eps = F64_EPS
-    o["difference_inner"] = f"""
+    o["difference_inner_left"] = f"""
         SELECT c.c_custkey, s.s_suppkey,
-               round(abs(c.c_acctbal - s.s_acctbal), 6) AS dist
+               round(abs(c.c_acctbal - s.s_acctbal), 6) AS dist,
+               'inner' AS mode
         FROM customer c, supplier s
         WHERE abs(c.c_acctbal - s.s_acctbal) <= 0.5 + {eps}
-    """
-    o["difference_left"] = f"""
+        UNION ALL
         SELECT c.c_custkey, s.s_suppkey,
-               round(abs(c.c_acctbal - s.s_acctbal), 6) AS dist
+               round(abs(c.c_acctbal - s.s_acctbal), 6) AS dist,
+               'left' AS mode
         FROM customer c LEFT JOIN supplier s
           ON abs(c.c_acctbal - s.s_acctbal) <= 0.5 + {eps}
     """
@@ -1612,4 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
     """
+    # ivf_topk runs full-probe (see queries()) => exhaustive => the exact
+    # brute-force top-k IS its oracle
+    o["ivf_topk"] = o["cosine_topk"]
     return o

@@ -336,3 +336,137 @@ def lsh_cosine_pairs(
         .where(F.col("cosine") >= min_cosine)
         .select("id1", "id2", "cosine")
     )
+
+
+def _kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    sample_size: int = 4096,
+    iters: int = 10,
+) -> np.ndarray:
+    """Coarse spherical k-means quantizer for the IVF index, trained on a
+    DETERMINISTIC bounded sample: the `sample_size` corpus rows with the
+    lowest xxhash64(id) (TakeOrdered — no full sort, no driver blow-up at
+    any corpus size), Lloyd iterations in one NumPy process on the driver.
+    Returns L2-normalized centroids (n_cells, dim). Deterministic for a
+    given (data, seed): ties in assignment break by lowest cell index
+    (argmax on exact float64), empty cells keep their previous centroid.
+    """
+    rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h", F.col(vec_col).cast("string"))
+        .limit(int(sample_size))
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    x = np.where(nrm > 0, x / np.where(nrm == 0, 1.0, nrm), x)
+    n_cells = min(int(n_cells), len(x))
+    rng = np.random.RandomState(seed)
+    c = x[rng.choice(len(x), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_cells):
+            m = x[assign == j]
+            if len(m):
+                v = m.mean(axis=0)
+                d = np.linalg.norm(v)
+                if d > 0:
+                    c[j] = v / d
+    return c
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray, n_probe: int = 1
+) -> DataFrame:
+    """(id, v, cell): each row exploded to its `n_probe` nearest coarse
+    cells by cosine (argpartition over one NumPy matmul per Arrow batch).
+    n_probe=1 indexes a corpus; n_probe>1 fans a probe set out to the
+    cells it must search."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+    n_probe = min(int(n_probe), len(c))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def cells_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = np.where(nrm > 0, mat / np.where(nrm == 0, 1.0, nrm), mat)
+        scores = mat @ c.T  # (batch, n_cells)
+        if n_probe == 1:
+            top = np.argmax(scores, axis=1)[:, None]
+        else:
+            # argpartition then exact sort of the head: O(cells) per row
+            part = np.argpartition(-scores, n_probe - 1, axis=1)[:, :n_probe]
+            order = np.argsort(-np.take_along_axis(scores, part, axis=1), axis=1)
+            top = np.take_along_axis(part, order, axis=1)
+        return pd.Series([row.astype("int32") for row in top])
+
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.explode(cells_udf(F.col(vec_col))).alias("cell"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    seed: int = 13,
+    sample_size: int = 4096,
+    iters: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the bucketed ANN scale path
+    alongside `cosine_topk(strategy="lsh")`.
+
+    (1) train a coarse spherical-kmeans quantizer on a deterministic
+        bounded corpus sample (driver-side NumPy — the only non-distributed
+        step, capped at `sample_size` rows regardless of corpus size);
+    (2) assign every corpus vector to its nearest cell — one NumPy matmul
+        per Arrow batch, centroids shipped in the UDF closure (n_cells x
+        dim doubles, a few KB-MB broadcast, never a shuffle);
+    (3) each query probes its `n_probe` nearest cells; candidates come
+        from the cell equi-join — the scan is n_probe/n_cells of the
+        corpus per query instead of all of it;
+    (4) exact cosine + deterministic rank (cosine desc, neighbor_id asc)
+        over candidates only.
+
+    Recall < 1 by design (a true neighbor can live in an unprobed cell);
+    n_probe == n_cells degenerates to exhaustive search and matches
+    `cosine_topk(strategy="exact")` exactly (pinned in tests/test_ann.py).
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    cent = _kmeans_centroids(
+        corpus, id_col, vec_col, n_cells, seed, sample_size=sample_size, iters=iters
+    )
+    cs = ivf_assign(corpus, id_col, vec_col, cent, n_probe=1).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+    )
+    qs = ivf_assign(queries, id_col, vec_col, cent, n_probe=n_probe).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    scored = (
+        qs.join(cs, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
+        .withColumn("cosine", cosine_similarity_col(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

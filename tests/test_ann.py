@@ -181,3 +181,85 @@ def test_auto_routing_count_memoized(spark, monkeypatch):
 
     monkeypatch.setattr(DataFrame, "count", _boom)
     assert ann._exceeds_rows(local, 10) is True
+
+
+# ---- IVF -----------------------------------------------------------------
+
+
+def test_ivf_full_probe_matches_exact(emb):
+    # probing every cell degenerates IVF to exhaustive search: results must
+    # EQUAL the exact brute-force top-k, ranks and all (deterministic
+    # tie-break on (cosine desc, neighbor_id asc) in both paths)
+    probes = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("vec_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann.cosine_topk(probes, emb, "vec_id", "embedding", k=5,
+                                 strategy="exact").collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann.ivf_topk(probes, emb, "vec_id", "embedding", k=5,
+                              n_cells=8, n_probe=8).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(emb):
+    # the parquet test corpus is near-uniform on the sphere — the hardest
+    # case for any space-partitioning index (recall tracks the probed
+    # fraction); pin the half-probe configuration against exact top-k
+    probes = emb.where(F.col("vec_id") < 50)
+    exact = ann.cosine_topk(probes, emb, "vec_id", "embedding", k=5,
+                            strategy="exact")
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.ivf_topk(probes, emb, "vec_id", "embedding", k=5,
+                              n_cells=16, n_probe=8).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, f"IVF recall {recall:.3f} < 0.8"
+    # every returned neighbor's cosine is EXACT (verified re-rank), so any
+    # returned pair that is also in truth carries the same rank semantics
+
+
+def test_ivf_clustered_corpus_low_probe_recall(spark):
+    # IVF's value proposition: on CLUSTERABLE data (the realistic shape
+    # for trained embeddings) a 2/16 probe fraction — scanning ~1/8 of
+    # the corpus per query — keeps high recall
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((16, 32)) * 4.0
+    rows = []
+    for i in range(1600):
+        c = i % 16
+        rows.append((i, (centers[c] + rng.standard_normal(32) * 0.4).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    probes = df.where(F.col("vec_id") < 40)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.cosine_topk(probes, df, "vec_id", "embedding", k=5,
+                                 strategy="exact").collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann.ivf_topk(probes, df, "vec_id", "embedding", k=5,
+                              n_cells=16, n_probe=2, sample_size=800).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"IVF clustered recall {recall:.3f} < 0.9"
+    df.unpersist()
+
+
+def test_ivf_deterministic_and_no_crossjoin(emb):
+    probes = emb.where(F.col("vec_id") < 10)
+    df = ann.ivf_topk(probes, emb, "vec_id", "embedding", k=3, n_cells=8, n_probe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, ann.ivf_topk(probes, emb, "vec_id", "embedding", k=3,
+                                       n_cells=8, n_probe=2).collect()))
+    assert a == b
