@@ -432,6 +432,7 @@ def qgram_candidates_ids(
     max_distance: float,
     prefix_mode: str = "prefix",
     sig_words: int = 0,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """SELF-join qgram-distance candidates over a precomputed profile frame,
     shuffling only fixed-width ids + grams — never key strings (the
@@ -476,6 +477,18 @@ def qgram_candidates_ids(
     carry = ["__fz_tc", F.size("__fz_gs").alias("__fz_n"), *sigw] if sig_words else []
     tok = prof.select(id_col, *carry, F.explode("__fz_gs").alias("__fz_g"))
     carry_names = ["__fz_tc", "__fz_n", *sigw] if sig_words else []
+    if max_gram_df:
+        # hot-gram df cap (approximate valve — see cosine_candidates_ids);
+        # __fz_n / __fz_tc / the Bloom words stay FULL-profile, so every
+        # inline bound below remains valid for the true distance
+        keep = (
+            tok.select("__fz_g")
+            .groupBy("__fz_g")
+            .agg(F.count(F.lit(1)).alias("__fz_df0"))
+            .where(F.col("__fz_df0") <= max_gram_df)
+            .select("__fz_g")
+        )
+        tok = tok.join(F.broadcast(keep), "__fz_g")
     if prefix_mode == "simple":
         lp = tok
     else:
@@ -537,6 +550,7 @@ def cosine_candidates_ids(
     max_distance: float,
     prefix_mode: str = "prefix",
     sig_words: int = 0,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """SELF-join multiset-cosine candidates over a precomputed profile
     frame — the id-keyed twin of `_cosine_prefix_candidates` (weighted
@@ -590,6 +604,21 @@ def cosine_candidates_ids(
             *stat_names,
         )
     )
+    if max_gram_df:
+        # hot-gram df cap (approximate valve, same contract as the
+        # jaccard path): grams hotter than the cap are dropped from BOTH
+        # the probe and index token streams — a pair whose entire overlap
+        # was capped boilerplate is the caller's sorted-neighborhood
+        # pass's job. The keep-list is bounded by the distinct-gram count
+        # (for char q-grams, by alphabet^q), so the broadcast is safe at
+        # any corpus size.
+        keep = (
+            tok.groupBy("__fz_g")
+            .agg(F.count(F.lit(1)).alias("__fz_df0"))
+            .where(F.col("__fz_df0") <= max_gram_df)
+            .select("__fz_g")
+        )
+        tok = tok.join(F.broadcast(keep), "__fz_g")
     if prefix_mode == "simple":
         indexed = tok.select(
             F.col(id_col).alias(id2),

@@ -295,6 +295,30 @@ def er_pipeline(
                 if 2 * _n_uniq() >= B.PREFIX_AUTO_KEY_THRESHOLD
                 else "simple"
             )
+            # hot-gram df cap + sorted-neighborhood recovery, SAME valve as
+            # the jaccard branch below: shared boilerplate makes every hot
+            # gram's candidate list quadratic in its df, and (unlike the
+            # name-length regime) neither the AllPairs weighting nor the
+            # signature refines discriminate on kilobyte keys — profile
+            # size drowns cmax scaling and the 128 mass bins. When the cap
+            # never triggers (n_capped == 0) the builders run UNCAPPED and
+            # the prefix filters stay lossless on their own.
+            cap = (
+                max(10_000, _n_uniq() // 8)
+                if max_gram_df == "auto"
+                else max_gram_df
+            )
+            gsrc = (
+                uniq.select(F.explode("gs").alias("g"))
+                if method == "qgram"
+                else uniq.select(F.explode(F.map_keys("cm")).alias("g"))
+            )
+            n_capped = (
+                gsrc.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > cap).count()
+                if cap
+                else 0
+            )
             # the Bloom words ride into the builders so the count-scaled
             # popcount cut (blocking._popcount_cut) runs inside the
             # candidate join, BEFORE the distinct's shuffle — at the 20k
@@ -306,15 +330,33 @@ def er_pipeline(
                     *_sw,
                 )
                 cand = B.qgram_candidates_ids(
-                    prof, "kid", max_distance, prefix_mode=mode, sig_words=NSIG
+                    prof, "kid", max_distance, prefix_mode=mode, sig_words=NSIG,
+                    max_gram_df=cap if n_capped else None,
                 )
             else:
                 prof = uniq.select("kid", F.col("cm").alias("__fz_cm"), *_sw)
                 cand = B.cosine_candidates_ids(
-                    prof, "kid", max_distance, prefix_mode=mode, sig_words=NSIG
+                    prof, "kid", max_distance, prefix_mode=mode, sig_words=NSIG,
+                    max_gram_df=cap if n_capped else None,
                 )
             obs = Observation()
             cand = cand.observe(obs, F.count(F.lit(1)).alias("raw_candidates"))
+            if sn_window and n_capped:
+                # complementary sorted-neighborhood pass: catches pairs
+                # whose shared grams were ALL dropped by the cap (lexically
+                # near keys rank adjacent); the edges-stage two-tier refine
+                # + exact scorer verify every extra pair
+                from fozzie_spark.blocking import sorted_neighborhood_candidates
+
+                sn = sorted_neighborhood_candidates(
+                    uniq.select("key"), "key", window=sn_window
+                )
+                extra = sn.select(
+                    key_id(F.col("key")).alias("a"), key_id(F.col("key2")).alias("b")
+                ).select(
+                    F.least("a", "b").alias("kid"), F.greatest("a", "b").alias("kid2")
+                )
+                cand = cand.unionByName(extra)
             return cand.distinct(), obs
 
         if method in ("jaro", "jw"):

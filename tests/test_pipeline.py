@@ -522,3 +522,74 @@ def test_edge_refine_lossless_vs_bruteforce(spark, tmp_path):
         assert set(edges) == set(brute), method
         assert all(abs(edges[k] - brute[k]) < 1e-12 for k in brute), method
     docs.unpersist()
+
+
+def test_pipeline_hot_key_skew_cosine(spark, tmp_path):
+    # axis-B skew on the COSINE branch — the jaccard skew test's mirror.
+    # Kilobyte boilerplate keys defeat BOTH per-pair signature refines
+    # (profile size drowns the cmax scaling and the 128 mass bins), so
+    # the hot-gram df cap + sorted-neighborhood recovery is the valve
+    # here too. Two regimes of the hot boilerplate entity:
+    # (a) short tails => hot docs are TRUE near-dups (cos ~0.9): capping
+    #     drops every shared gram, so the SN pass must recover the
+    #     cluster TRANSITIVELY — with the exact same entity partition the
+    #     uncapped quadratic run produces;
+    # (b) long tails => boilerplate is worth cos ~0.35 < t, all C(hot,2)
+    #     hot pairs are NON-matches: uncapped, the full quadratic pair
+    #     stream reaches the scorer (measured: all 7140); capped, it
+    #     never gets generated.
+    from fozzie_spark.synth import synth_documents_skewed
+
+    def partition_of(out):
+        byid = {}
+        for r in out["entities"].select("doc_id", "entity_id").collect():
+            byid.setdefault(r["entity_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in byid.values()}
+
+    # (a) matching regime
+    docs = synth_documents_skewed(spark, 80, hot_docs=120, hot_exact=60).cache()
+    capped = er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "cos_a_cap"),
+                         method="cosine", max_distance=0.25, q=3,
+                         max_gram_df=50, resume=False)
+    full = er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "cos_a_full"),
+                       method="cosine", max_distance=0.25, q=3,
+                       max_gram_df=None, resume=False)
+    raw_capped = capped["runner"].metric("pairs", "raw_candidates")
+    raw_full = full["runner"].metric("pairs", "raw_candidates")
+    assert raw_full >= 120 * 119 / 2, (raw_capped, raw_full)
+    assert raw_capped < raw_full / 4, (raw_capped, raw_full)
+    parts = partition_of(capped)
+    assert parts == partition_of(full)
+    hot = [g for g in parts if any(d.startswith("hot-") for d in g)]
+    assert len(hot) == 1 and len(hot[0]) == 120
+    assert all(d.startswith("hot-") for d in hot[0])
+    dup = [g for g in parts if any(d.startswith("dup-") for d in g)]
+    assert len(dup) == 1 and len(dup[0]) == 60
+    truth = docs.select("doc_id", F.col("entity_id").alias("t"))
+    pred = capped["entities"].select("doc_id", F.col("entity_id").alias("p"))
+    m = pairwise_f1(truth.join(pred, "doc_id"), truth_col="t", pred_col="p")
+    assert m["f1"] >= 0.99, m
+    docs.unpersist()
+
+    # (b) non-matching regime: long unique tails dilute the boilerplate
+    docs_b = synth_documents_skewed(spark, 80, hot_docs=120, hot_exact=0,
+                                    tail_words=60).cache()
+    cap_b = er_pipeline(spark, docs_b, checkpoint_dir=str(tmp_path / "cos_b_cap"),
+                        method="cosine", max_distance=0.25, q=3,
+                        max_gram_df=50, resume=False)
+    full_b = er_pipeline(spark, docs_b, checkpoint_dir=str(tmp_path / "cos_b_full"),
+                         method="cosine", max_distance=0.25, q=3,
+                         max_gram_df=None, resume=False)
+    # capping may only REMOVE candidates, and the partitions must agree
+    # (at this size the 60-word tails share vocab grams, so most candidate
+    # volume is legitimate tail overlap rather than boilerplate — the
+    # boilerplate-dominated cut is regime (a)'s assertion)
+    raw_cap_b = cap_b["runner"].metric("pairs", "raw_candidates")
+    raw_full_b = full_b["runner"].metric("pairs", "raw_candidates")
+    assert raw_cap_b < raw_full_b, (raw_cap_b, raw_full_b)
+    assert partition_of(cap_b) == partition_of(full_b)
+    # every hot doc is its own entity (no false merges through boilerplate)
+    hot_ids = {r["entity_id"] for r in cap_b["entities"]
+               .where(F.col("doc_id").startswith("hot-")).collect()}
+    assert len(hot_ids) == 120
+    docs_b.unpersist()
