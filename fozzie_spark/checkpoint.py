@@ -32,6 +32,25 @@ def _hash_config(obj) -> str:
     return hashlib.sha256(json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
 
 
+def _shuffle_totals(spark: SparkSession) -> tuple[int, int]:
+    """Cumulative (read, write) shuffle bytes from the app status store.
+    Per-stage deltas go into the stage manifests — a plan regression (a
+    join that starts shuffling key strings, a lost broadcast) shows up as
+    a byte jump even when wall time hides it. Best-effort: returns (0, 0)
+    when the status store is unreachable (e.g. Connect)."""
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        lst = store.executorList(False)
+        r = w = 0
+        for i in range(lst.size()):
+            e = lst.apply(i)
+            r += e.totalShuffleRead()
+            w += e.totalShuffleWrite()
+        return r, w
+    except Exception:
+        return 0, 0
+
+
 class StageRunner:
     def __init__(
         self,
@@ -83,6 +102,7 @@ class StageRunner:
                 return self.spark.read.format(self.table_format).load(data_path)
 
         t0 = time.time()
+        sh_r0, sh_w0 = _shuffle_totals(self.spark)
         result = fn()
         obs = None
         if isinstance(result, tuple):
@@ -90,9 +110,13 @@ class StageRunner:
         else:
             df = result
         df.write.format(self.table_format).mode("overwrite").save(data_path)
+        sh_r1, sh_w1 = _shuffle_totals(self.spark)
         out = self.spark.read.format(self.table_format).load(data_path)
 
-        metrics: dict = {}
+        metrics: dict = {
+            "shuffle_read_bytes": sh_r1 - sh_r0,
+            "shuffle_write_bytes": sh_w1 - sh_w0,
+        }
         if obs is not None:
             try:
                 metrics.update(dict(obs.get))
