@@ -436,3 +436,46 @@ def test_mp4_sample_ranges_spark(spark):
     assert sync == [("v0", 0, expected[0][1], 10, True), ("v0", 3, expected[3][1], 40, True)]
     with pytest.raises(Exception):
         mp4_sample_ranges(df, on_error="error").collect()
+
+
+def tone_wav_bytes(freq_hz, rate=8000, n_samples=4096, amp=0.5):
+    t = np.arange(n_samples) / rate
+    x = (np.sin(2 * np.pi * freq_hz * t) * amp * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_audio_spectral_features(spark):
+    from fozzie_spark.media import audio_spectral_features
+
+    rows = [
+        ("tone1k", tone_wav_bytes(1000)),
+        ("tone3k", tone_wav_bytes(3000)),
+        ("notaudio", b"\x00\x01\x02\x03not a wav at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, media_bytes binary")
+    got = {r["doc_id"]: r for r in
+           audio_spectral_features(df, n_bands=16).collect()}
+    # undecodable row skipped, WAVs decoded
+    assert set(got) == {"tone1k", "tone3k"}
+    for name, f in (("tone1k", 1000.0), ("tone3k", 3000.0)):
+        r = got[name]
+        assert r["sample_rate"] == 8000 and r["n_samples"] == 4096
+        # a pure tone's centroid sits on its frequency (leakage < 2%)
+        assert abs(r["spectral_centroid_hz"] - f) < f * 0.02, r
+        bands = r["band_energy"]
+        assert len(bands) == 16 and abs(sum(bands) - 1.0) < 1e-3
+        # the tone's own band carries the bulk of the energy
+        assert max(bands) > 0.9, bands
+    # higher tone peaks in a strictly higher band (log-spaced edges)
+    assert (max(range(16), key=lambda i: got["tone3k"]["band_energy"][i])
+            > max(range(16), key=lambda i: got["tone1k"]["band_energy"][i]))
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        audio_spectral_features(df, on_error="error").collect()
