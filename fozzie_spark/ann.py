@@ -470,3 +470,40 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_near_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    strategy: str = "auto",
+    n_planes: int = 16,
+    bands: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate GROUPING: cosine_pairs edges ->
+    connected components -> (id, dup_group, group_size, is_canonical) —
+    the same output contract as textops.exact_dedup/near_dedup, over an
+    embedding column instead of text. strategy follows cosine_pairs
+    ("auto" routes to the LSH-bucketed path above the row threshold;
+    "exact" for oracle-exact grouping at any size)."""
+    from pyspark.sql import Window
+
+    from fozzie_spark.cluster import connected_components
+
+    pairs = cosine_pairs(
+        df, id_col, vec_col, min_cosine=min_cosine, strategy=strategy,
+        n_planes=n_planes, bands=bands, seed=seed,
+    ).select("id1", "id2")
+    cc = connected_components(pairs, "id1", "id2", precontract=False).select(
+        F.col("node").alias(id_col), F.col("component").alias("__fz_comp")
+    )
+    w = Window.partitionBy("dup_group")
+    return (
+        df.join(cc, id_col, "left")
+        .withColumn("dup_group", F.coalesce("__fz_comp", F.col(id_col)))
+        .drop("__fz_comp")
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.min(id_col).over(w))
+    )

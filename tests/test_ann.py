@@ -263,3 +263,31 @@ def test_ivf_deterministic_and_no_crossjoin(emb):
     b = sorted(map(tuple, ann.ivf_topk(probes, emb, "vec_id", "embedding", k=3,
                                        n_cells=8, n_probe=2).collect()))
     assert a == b
+
+
+def test_embedding_near_dedup(spark):
+    # grouping contract matches textops near_dedup: transitive closure of
+    # the >= min_cosine graph, min-id canonical rows, singletons self-group
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base1 = rng.standard_normal(16)
+    base2 = rng.standard_normal(16)
+    rows = [
+        (0, base1.tolist()),
+        (1, (base1 * 2.0).tolist()),            # same direction => cos 1.0
+        (2, (base1 + rng.standard_normal(16) * 0.01).tolist()),
+        (3, base2.tolist()),
+        (4, (-base2).tolist()),                 # opposite => cos -1
+        (5, rng.standard_normal(16).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["dup_group"], r["group_size"], r["is_canonical"])
+           for r in ann.embedding_near_dedup(df, "vec_id", "embedding",
+                                             min_cosine=0.95,
+                                             strategy="exact").collect()}
+    assert out[0] == (0, 3, True)
+    assert out[1] == (0, 3, False) and out[2] == (0, 3, False)
+    # 3, 4, 5 are singletons grouping with themselves
+    for i in (3, 4, 5):
+        assert out[i] == (i, 1, True), out[i]
