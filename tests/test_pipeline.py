@@ -593,3 +593,86 @@ def test_pipeline_hot_key_skew_cosine(spark, tmp_path):
                .where(F.col("doc_id").startswith("hot-")).collect()}
     assert len(hot_ids) == 120
     docs_b.unpersist()
+
+
+def test_edge_refine_adversarial_corpora(spark, tmp_path):
+    # randomized adversarial corpora for the qgram/cosine refine: unicode
+    # multibyte grams, repeated-single-char keys (cmax >> 1 — the weak
+    # spot of the count-scaled popcount floor), sub-q keys (empty
+    # profiles), exact duplicates, and near-dups; edges must equal the
+    # exhaustive all-pairs rescore for every seed
+    import random
+
+    from fozzie_spark.distances import _cosine_dist, _qgram_dist, qgram_profile
+
+    alphabet = "abcé✓ "
+    for seed, method, tau in ((1, "cosine", 0.3), (2, "qgram", 4.0)):
+        rng = random.Random(seed)
+        texts = ["", "a", "ab", "aaaaaaaaaa", "ééééé"]
+        for i in range(120):
+            base = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 14)))
+            texts.append(base)
+            if rng.random() < 0.4:  # near-dup / exact-dup injection
+                texts.append(base + rng.choice(["", "a", "é"]))
+        docs = spark.createDataFrame(
+            [(f"d{i}", [{"kind": "text", "text": t, "media_ref": None, "offset": 0}])
+             for i, t in enumerate(texts)],
+            "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        )
+        out = er_pipeline(
+            spark, docs, checkpoint_dir=str(tmp_path / f"adv_{method}_{seed}"),
+            method=method, max_distance=tau, q=3, resume=False,
+        )
+        edges = {
+            tuple(sorted([(r["kid"]["h1"], r["kid"]["h2"]),
+                          (r["kid2"]["h1"], r["kid2"]["h2"])])): r["dist"]
+            for r in out["edges"].collect()
+        }
+        profs = {
+            (r["kid"]["h1"], r["kid"]["h2"]): qgram_profile(r["key"], 3)
+            for r in out["keys"].select("key", "kid").distinct().collect()
+        }
+        fn = _cosine_dist if method == "cosine" else _qgram_dist
+        kids = sorted(profs)
+        brute = {}
+        for i in range(len(kids)):
+            for j in range(i + 1, len(kids)):
+                d = fn(profs[kids[i]], profs[kids[j]])
+                if d <= tau:
+                    brute[(kids[i], kids[j])] = d
+        assert set(edges) == set(brute), (method, seed,
+                                          len(set(brute) - set(edges)),
+                                          len(set(edges) - set(brute)))
+        assert all(abs(edges[k] - brute[k]) < 1e-12 for k in brute), (method, seed)
+
+
+def test_edges_dict_shuffle_join_path(spark, tmp_path, monkeypatch):
+    # past the broadcast gate (>5M keys or >256MB dictionary payload) the
+    # edges/scoring dictionaries shuffle-join instead of broadcasting;
+    # force that plan by neutering F.broadcast inside the pipeline module
+    # and pin the output equal to the broadcast-path run
+    import fozzie_spark.pipeline as P
+
+    docs = synth_documents(spark, 400).persist()
+    base = er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "bc"),
+                       method="cosine", max_distance=0.25, q=3, resume=False)
+    want_edges = sorted(
+        ((r["kid"]["h1"], r["kid2"]["h1"]), round(r["dist"], 9))
+        for r in base["edges"].collect()
+    )
+    monkeypatch.setattr(P.F, "broadcast", lambda df: df)
+    forced = er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "sh"),
+                         method="cosine", max_distance=0.25, q=3, resume=False)
+    got_edges = sorted(
+        ((r["kid"]["h1"], r["kid2"]["h1"]), round(r["dist"], 9))
+        for r in forced["edges"].collect()
+    )
+    assert got_edges == want_edges
+    # entity partitions agree
+    def parts(out):
+        byid = {}
+        for r in out["entities"].select("doc_id", "entity_id").collect():
+            byid.setdefault(r["entity_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in byid.values()}
+    assert parts(forced) == parts(base)
+    docs.unpersist()
