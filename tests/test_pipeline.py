@@ -676,3 +676,46 @@ def test_edges_dict_shuffle_join_path(spark, tmp_path, monkeypatch):
         return {frozenset(v) for v in byid.values()}
     assert parts(forced) == parts(base)
     docs.unpersist()
+
+
+def test_killed_job_resumes_mid_stage(tmp_path):
+    # the north rule verbatim: "a killed job resumes mid-stage". Run the
+    # real spark-submit entry in a subprocess, SIGKILL it after the keys
+    # stage commits but (long) before the run finishes, then re-run with
+    # resume on: the keys manifest must survive untouched (stage reused,
+    # not recomputed) and the resumed run must complete with a correct
+    # F1 report.
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ck = str(tmp_path / "ck")
+    cmd = [
+        sys.executable, "-m", "fozzie_spark.job",
+        "--synth-entities", "3000", "--checkpoint-dir", ck,
+        "--cpus", "8", "--shuffle-partitions", "16",
+    ]
+    p = subprocess.Popen(cmd, cwd=os.path.dirname(os.path.dirname(__file__)),
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    keys_manifest = os.path.join(ck, "keys.manifest.json")
+    entities_manifest = os.path.join(ck, "entities.manifest.json")
+    deadline = time.time() + 180
+    while time.time() < deadline and not os.path.exists(keys_manifest):
+        if p.poll() is not None:
+            raise AssertionError("job finished before the kill window opened")
+        time.sleep(0.2)
+    assert os.path.exists(keys_manifest), "keys stage never committed"
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    assert not os.path.exists(entities_manifest), "job finished despite kill"
+
+    mtime = os.path.getmtime(keys_manifest)
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+    assert report["pairwise_f1"] >= 0.99, report
+    assert os.path.exists(entities_manifest)
+    # the committed stage was REUSED by the resumed run, not rewritten
+    assert os.path.getmtime(keys_manifest) == mtime
