@@ -19,35 +19,77 @@ from pyspark.sql.types import LongType
 
 _log = logging.getLogger("fozzie_spark.ann")
 
-#: assumed bytes/row for plan-stats row estimation: embedding rows are
-#: dominated by the vector payload (e.g. 64 x float64 + id ≈ 550 B).
-#: Deliberately mid-range — only CONFIDENT extremes (4x margin either way)
-#: skip the count job; the gray zone still counts.
-_EST_ROW_BYTES = 512
-
-#: memoized routing counts per plan semanticHash (same staleness caveat as
-#: blocking's prefix-decision cache: in-place mutation of an external path)
-_COUNT_CACHE: dict[int, int] = {}
+#: memoized routing counts keyed by (plan semanticHash, plan sizeInBytes):
+#: the size component is the freshness signal — overwriting the same
+#: external path in place changes sizeInBytes, so a stale count can no
+#: longer flip exact<->LSH routing silently.
+_COUNT_CACHE: dict[tuple, int] = {}
 _COUNT_CACHE_MAX = 4096
 
 
-def _exceeds_rows(df: DataFrame, threshold: int) -> bool:
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Optimizer rowCount statistic when the plan carries one (CBO /
+    analyzed tables / LocalRelation) — the only row-CONFIDENT signal that
+    costs no job at all."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(rc.get().longValue())
+    except Exception:
+        pass
+    return None
+
+
+def _vec_row_bytes(df: DataFrame, vec_col: str) -> tuple[int | None, bool]:
+    """Schema-derived bytes/row for an embedding frame: vector payload
+    (dim x element width — dim probed from ONE row, a single-partition
+    job, orders cheaper than the count it replaces) plus id/overhead pad.
+    Returns (row_bytes, is_empty); is_empty short-circuits routing (an
+    empty side never exceeds any threshold)."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    try:
+        r = df.select(vec_col).first()
+    except Exception:
+        return None, False
+    if r is None or r[0] is None:
+        return None, True
+    elem = 8
+    try:
+        t = df.schema[vec_col].dataType
+        if isinstance(t, ArrayType) and isinstance(t.elementType, FloatType):
+            elem = 4
+    except Exception:
+        pass
+    return len(r[0]) * elem + 16, False
+
+
+def _exceeds_rows(df: DataFrame, threshold: int, row_bytes: int | None = None) -> bool:
     """True iff `df` has more than `threshold` rows — resolved WITHOUT an
-    eager count whenever optimizer plan statistics settle it: est_rows =
-    sizeInBytes / _EST_ROW_BYTES routes confident extremes (>4x / <1/4 of
-    the threshold) immediately; only the gray zone (and unknown-stats
-    plans, e.g. LogicalRDD) pays a count job, memoized per plan."""
+    eager count whenever a row-confident signal settles it: (1) the
+    optimizer rowCount statistic when present; (2) est_rows = sizeInBytes /
+    `row_bytes` for confident extremes (>4x / <1/4 of the threshold), but
+    ONLY when the caller supplied a schema-derived `row_bytes` — a generic
+    bytes/row guess misroutes wide rows (256+-dim float64 embeddings) to
+    approximate LSH, a silent results change. Gray-zone and unknown-stats
+    plans pay a count job, memoized per (plan, sizeInBytes)."""
     from fozzie_spark.blocking import _plan_size_bytes
 
+    rows = _plan_row_count(df)
+    if rows is not None:
+        _log.info("_exceeds_rows: plan rowCount=%d vs threshold=%d", rows, threshold)
+        return rows > threshold
     sz = _plan_size_bytes(df)
-    if sz is not None and threshold > 0:
-        est = sz / _EST_ROW_BYTES
-        if est > 4.0 * threshold:
-            return True
-        if est < threshold / 4.0:
-            return False
+    if row_bytes and sz is not None and threshold > 0:
+        est = sz / row_bytes
+        if est > 4.0 * threshold or est < threshold / 4.0:
+            _log.info(
+                "_exceeds_rows: plan sizeInBytes=%d / row_bytes=%d -> est_rows=%.0f "
+                "vs threshold=%d (confident)", sz, row_bytes, est, threshold,
+            )
+            return est > threshold
     try:
-        key = df.semanticHash()
+        key = (df.semanticHash(), sz)
     except Exception:
         key = None
     if key is not None and key in _COUNT_CACHE:
@@ -58,6 +100,7 @@ def _exceeds_rows(df: DataFrame, threshold: int) -> bool:
             if len(_COUNT_CACHE) >= _COUNT_CACHE_MAX:
                 _COUNT_CACHE.clear()
             _COUNT_CACHE[key] = n
+    _log.info("_exceeds_rows: counted rows=%d vs threshold=%d", n, threshold)
     return n > threshold
 
 
@@ -105,9 +148,11 @@ def cosine_pairs(
     if strategy not in ("exact", "lsh", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
-        big = _exceeds_rows(df, auto_threshold) or (
-            other is not None and _exceeds_rows(other, auto_threshold)
-        )
+        rb, empty = _vec_row_bytes(df, vec_col)
+        big = (not empty) and _exceeds_rows(df, auto_threshold, row_bytes=rb)
+        if not big and other is not None:
+            rb2, empty2 = _vec_row_bytes(other, vec_col)
+            big = (not empty2) and _exceeds_rows(other, auto_threshold, row_bytes=rb2)
         strategy = "lsh" if big else "exact"
         _log.warning(
             "cosine_pairs auto routed to %s (threshold=%d rows)%s",
@@ -176,7 +221,9 @@ def cosine_topk(
     if strategy not in ("exact", "lsh", "auto"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "auto":
-        strategy = "lsh" if _exceeds_rows(queries, auto_threshold) else "exact"
+        rb, empty = _vec_row_bytes(queries, vec_col)
+        big = (not empty) and _exceeds_rows(queries, auto_threshold, row_bytes=rb)
+        strategy = "lsh" if big else "exact"
         _log.warning(
             "cosine_topk auto routed to %s (probe threshold=%d)%s",
             strategy, auto_threshold,
@@ -361,6 +408,8 @@ def _kmeans_centroids(
         .limit(int(sample_size))
         .collect()
     )
+    if not rows:  # empty corpus: no quantizer to train (ivf_topk returns empty)
+        return np.zeros((0, 0), dtype=np.float64)
     x = np.array([r["v"] for r in rows], dtype=np.float64)
     nrm = np.linalg.norm(x, axis=1, keepdims=True)
     x = np.where(nrm > 0, x / np.where(nrm == 0, 1.0, nrm), x)
@@ -449,6 +498,16 @@ def ivf_topk(
     cent = _kmeans_centroids(
         corpus, id_col, vec_col, n_cells, seed, sample_size=sample_size, iters=iters
     )
+    if cent.size == 0:  # empty corpus -> trivially empty top-k, typed schema
+        from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+        schema = StructType([
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("neighbor_id", corpus.schema[id_col].dataType),
+            StructField("cosine", DoubleType()),
+            StructField("rank", IntegerType()),
+        ])
+        return queries.sparkSession.createDataFrame([], schema)
     cs = ivf_assign(corpus, id_col, vec_col, cent, n_probe=1).select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
     )

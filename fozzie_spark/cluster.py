@@ -333,6 +333,27 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return nbr_edges.union(self_edges).where(F.col("u") != F.col("v")).distinct()
 
 
+def driver_finish_budget(spark, cap: int = 512 << 20) -> int:
+    """Bound a CC driver-finisher gate by what the session's task-result
+    path can actually carry: min(cap, spark.driver.maxResultSize // 2).
+    On default configs (maxResultSize=1g) a 512MB gate would collect up to
+    512MB of edge payload plus transient copies through the driver —
+    aborting the job or OOMing where the round loop was safe; deriving
+    from the live conf keeps the finisher a strict optimization on any
+    config. maxResultSize=0 (unlimited) keeps `cap`."""
+    try:
+        mrs = int(
+            spark.sparkContext._jsc.sc().conf().getSizeAsBytes(
+                "spark.driver.maxResultSize", "1g"
+            )
+        )
+    except Exception:
+        mrs = 1 << 30
+    if mrs <= 0:
+        return cap
+    return min(cap, mrs // 2)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

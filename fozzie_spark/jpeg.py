@@ -17,7 +17,9 @@ emit) and progressive (what web optimizers emit). Supported:
 
 NOT supported (raise NotImplementedError so `media._decode_bytes` can fall
 back to PIL when it exists): lossless/hierarchical SOFs, arithmetic
-coding, 12-bit precision.
+coding, 12-bit precision, multi-scan SEQUENTIAL files (non-interleaved
+sequential scans — rare libjpeg scan-script output; progressive
+multi-scan IS supported).
 
 The per-block Huffman walk is a Python bit reader — fine for the feature
 path's thumbnails (decode cost is per-image, Arrow-batched across the
@@ -269,6 +271,15 @@ def decode_baseline_jpeg(data: bytes) -> np.ndarray:
                 scan[cs] = (t >> 4, t & 15)
                 scan_order.append(cs)
             if not progressive:
+                if ns < len(frame[2]):
+                    # multi-scan sequential (non-interleaved scans, spec
+                    # A.2.2): this decoder codes one interleaved scan only;
+                    # NotImplementedError (not KeyError) so media's
+                    # documented PIL fallback engages when PIL exists
+                    raise NotImplementedError(
+                        "multi-scan sequential JPEG (scan covers "
+                        f"{ns}/{len(frame[2])} frame components)"
+                    )
                 return _decode_scan(
                     data, i + ln, frame, qt, huff_dc, huff_ac, scan, restart_interval
                 )

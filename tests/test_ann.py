@@ -156,13 +156,56 @@ def test_auto_routing_plan_stats_skip_count(spark, monkeypatch):
     def _boom(self):
         raise AssertionError("count job ran despite known plan stats")
 
+    # NOTE: patch the INSTANCE class — in Spark 4 `pyspark.sql.DataFrame`
+    # is the abstract parent and classic frames override count(), so
+    # patching the parent arms nothing (r5's version of this test was
+    # vacuous for exactly that reason)
     monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(type(pq), "count", _boom)
     # est >> 4x threshold  -> large without counting
-    monkeypatch.setattr(ann, "_EST_ROW_BYTES", 1)
-    assert ann._exceeds_rows(pq, 1) is True
+    assert ann._exceeds_rows(pq, 1, row_bytes=1) is True
     # est << threshold/4 -> small without counting
-    monkeypatch.setattr(ann, "_EST_ROW_BYTES", 1 << 40)
-    assert ann._exceeds_rows(pq, 10_000) is False
+    assert ann._exceeds_rows(pq, 10_000, row_bytes=1 << 40) is False
+    # WITHOUT a schema-derived row_bytes there is no bytes fast path at all
+    # (the r5 generic 512 B/row guess silently LSH-routed wide embedding
+    # rows): the gray zone falls through to the count, which boom()s here
+    ann._COUNT_CACHE.clear()
+    with pytest.raises(AssertionError, match="count job ran"):
+        ann._exceeds_rows(pq, 1)
+
+
+def test_vec_row_bytes_schema_derived(spark):
+    # bytes/row comes from the actual vector width + element type, so a
+    # 768-dim float64 row (~6 KB) can never be mistaken for 12 rows' worth
+    # of 512 B guesses
+    d = spark.createDataFrame(
+        [(1, [0.0] * 768)], "id long, v array<double>"
+    )
+    rb, empty = ann._vec_row_bytes(d, "v")
+    assert not empty and rb == 768 * 8 + 16
+    f = spark.createDataFrame([(1, [0.0] * 64)], "id long, v array<double>").select(
+        "id", F.col("v").cast("array<float>").alias("v")
+    )
+    rb, empty = ann._vec_row_bytes(f, "v")
+    assert not empty and rb == 64 * 4 + 16
+    e = d.where(F.lit(False))
+    rb, empty = ann._vec_row_bytes(e, "v")
+    assert empty
+
+
+def test_count_cache_freshness_on_overwrite(spark, tmp_path):
+    # overwriting the same external path in place must NOT serve a stale
+    # routing count (the cache key carries the plan's sizeInBytes)
+    p = str(tmp_path / "emb.parquet")
+    spark.range(50).select(
+        F.col("id"), F.array(*[F.rand(7)] * 4).alias("v")
+    ).write.mode("overwrite").parquet(p)
+    ann._COUNT_CACHE.clear()
+    assert ann._exceeds_rows(spark.read.parquet(p), 100) is False
+    spark.range(500).select(
+        F.col("id"), F.array(*[F.rand(7)] * 4).alias("v")
+    ).write.mode("overwrite").parquet(p)
+    assert ann._exceeds_rows(spark.read.parquet(p), 100) is True
 
 
 def test_auto_routing_count_memoized(spark, monkeypatch):
@@ -180,10 +223,21 @@ def test_auto_routing_count_memoized(spark, monkeypatch):
         raise AssertionError("count re-ran instead of cache-hit")
 
     monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(type(local), "count", _boom)  # see note above
     assert ann._exceeds_rows(local, 10) is True
 
 
 # ---- IVF -----------------------------------------------------------------
+
+
+def test_ivf_empty_corpus(spark):
+    # empty corpus: trivially empty top-k with the typed output schema,
+    # not an opaque ValueError out of the kmeans sampler
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    out = ann.ivf_topk(probes, empty, "vec_id", "embedding", k=3)
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert out.count() == 0
 
 
 def test_ivf_full_probe_matches_exact(emb):

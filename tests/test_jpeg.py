@@ -490,6 +490,20 @@ def test_arithmetic_raises_not_implemented():
         J.decode_baseline_jpeg(b"\xff\xd8" + sof9 + b"\xff\xd9")
 
 
+def test_multiscan_sequential_raises_not_implemented():
+    # SEQUENTIAL multi-scan (non-interleaved scans, spec A.2.2): a baseline
+    # SOS covering fewer components than the frame must raise
+    # NotImplementedError — NOT KeyError — so media._decode_bytes's
+    # documented PIL fallback engages for these valid-but-unsupported files
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 17) + struct.pack(">BHHB", 8, 8, 8, 3)
+        + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
+    )
+    sos1 = b"\xff\xda" + struct.pack(">H", 8) + b"\x01" + b"\x01\x00" + b"\x00\x3f\x00"
+    with pytest.raises(NotImplementedError, match="multi-scan sequential"):
+        J.decode_baseline_jpeg(b"\xff\xd8" + sof0 + sos1 + b"\xff\xd9")
+
+
 def test_progressive_matches_baseline_exactly():
     # the two codings carry the SAME quantized coefficients, so the decoded
     # pixels must be bit-identical between the baseline and progressive

@@ -313,6 +313,23 @@ def test_cc_precontract_equivalence(spark):
     assert kb == kf
 
 
+def test_driver_finish_budget_tracks_max_result_size(spark):
+    # the finisher's collect budget derives from the LIVE
+    # spark.driver.maxResultSize so a default-config (1g) session can never
+    # be asked to collect a 512MB payload the task-result path won't carry
+    from fozzie_spark.cluster import driver_finish_budget
+
+    mrs = int(
+        spark.sparkContext._jsc.sc().conf().getSizeAsBytes(
+            "spark.driver.maxResultSize", "1g"
+        )
+    )
+    assert driver_finish_budget(spark, cap=1 << 40) == (1 << 40 if mrs <= 0 else mrs // 2)
+    assert driver_finish_budget(spark, cap=1024) == 1024
+    b = driver_finish_budget(spark, cap=512 << 20)
+    assert 0 < b <= 512 << 20
+
+
 def test_cc_driver_finish_equivalence(spark):
     # the bytes-gated driver finisher must leave component assignments
     # bit-identical to full-rounds convergence for every node-id shape the
