@@ -115,6 +115,13 @@ def main() -> int:
     results.append(audit(
         "er_cosine_ids", B.cosine_candidates_ids(prof_c, "kid", 0.25, prefix_mode="prefix")
     ))
+    prof_j = keys.select(
+        "kid", F.length("key").cast("int").alias("__fz_kn"),
+        B.char_occurrence_tokens("key").alias("__fz_ts"),
+    )
+    results.append(audit(
+        "er_jw_ids", B.jaro_candidates_ids(prof_j, "kid", 0.25)
+    ))
     bad = [r["name"] for r in results if r["flags"]]
     print("AUDIT:", "FAIL " + ",".join(bad) if bad else "all plans clean")
     spark.stop()

@@ -463,3 +463,109 @@ def test_id_keyed_ngram_builders_lossless(spark):
             ).collect()
         }
         assert true_c <= got, f"cosine {mode}: missing {sorted(true_c - got)[:5]}"
+
+
+def _py_jaro(s1, s2):
+    # independent jaro (same as test_distances_properties.test_jaro_brute,
+    # incl. the reference's t//2 transposition floor)
+    if not s1 and not s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    w = max(len(s1), len(s2)) // 2 - 1
+    m1, m2 = [False] * len(s1), [False] * len(s2)
+    m = 0
+    for i, ch in enumerate(s1):
+        for j in range(max(0, i - w), min(len(s2), i + w + 1)):
+            if not m2[j] and s2[j] == ch:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t, k = 0, 0
+    for i, ok in enumerate(m1):
+        if ok:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    return (m / len(s1) + m / len(s2) + (m - t // 2) / m) / 3
+
+
+def test_id_keyed_jaro_builder_lossless_and_equivalent(spark):
+    # jaro_candidates_ids (the er_pipeline id-keyed jw blocking path:
+    # kids + char#occ tokens + int lengths shuffle, never key strings) must
+    # (a) be a SUPERSET of the true jaro match set, and (b) produce exactly
+    # the candidate set of the string-keyed jaro_candidates it replaces —
+    # single-side token df is half the union df for a self-join, so the
+    # shared rarity order (and thus every prefix) is identical.
+    import random
+
+    rnd = random.Random(11)
+    base = [
+        "martha", "marhta", "dixon", "dicksonx", "jellyfish", "smellyfish",
+        "", "", "a", "ab", "naïve", "naive", "müller", "mueller",
+        "de la cruz", "cruz",
+    ]
+    keys = base + ["".join(rnd.choice("abcde") for _ in range(rnd.randint(0, 9)))
+                   for _ in range(60)]
+    keys = sorted(set(keys))  # builders run over DISTINCT keys
+    tau = 0.25  # s = 0.75 > 1/3 (provable regime)
+    s = 1.0 - tau
+    df = spark.createDataFrame(list(enumerate(keys)), "kid long, key string")
+    prof = df.select(
+        "kid",
+        F.length("key").cast("int").alias("__fz_kn"),
+        blocking.char_occurrence_tokens("key").alias("__fz_ts"),
+    )
+    got = {
+        (r["kid"], r["kid2"])
+        for r in blocking.jaro_candidates_ids(prof, "kid", tau).collect()
+    }
+    true_pairs = {
+        (i, j)
+        for i in range(len(keys))
+        for j in range(i + 1, len(keys))
+        if 1.0 - _py_jaro(keys[i], keys[j]) <= tau
+    }
+    assert true_pairs, "corpus must contain true matches"
+    assert true_pairs <= got, f"missing {sorted(true_pairs - got)[:5]}"
+
+    # exact equivalence with the string-keyed builder, normalized to ids
+    kl = df.select(F.col("key").alias("__fz_l0"))
+    kr = df.select(F.col("key").alias("__fz_r0"))
+    idx = {k: i for i, k in enumerate(keys)}
+    old = set()
+    for r in blocking.jaro_candidates(kl, kr, "__fz_l0", "__fz_r0", tau).collect():
+        a, b = idx[r["__fz_l0"]], idx[r["__fz_r0"]]
+        if a != b:
+            old.add((min(a, b), max(a, b)))
+    assert got == old
+
+    # outside the provable regime there is no id-keyed fallback: refuse
+    with pytest.raises(ValueError, match="provable regime"):
+        blocking.jaro_candidates_ids(prof, "kid", 0.7)
+    with pytest.raises(ValueError, match="provable regime"):
+        blocking.jaro_candidates_ids(prof, "kid", tau, prefix_weight=-0.1)
+
+
+def test_id_keyed_jaro_builder_no_key_strings_in_shuffles(spark):
+    # the physical plan's exchanges must partition on tokens/ids only —
+    # the key string feeds one map-side projection and never a shuffle
+    df = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(["martha", "marhta", "arnab", "urban"])],
+        "kid long, key string",
+    )
+    prof = df.select(
+        "kid",
+        F.length("key").cast("int").alias("__fz_kn"),
+        blocking.char_occurrence_tokens("key").alias("__fz_ts"),
+    )
+    cand = blocking.jaro_candidates_ids(prof, "kid", 0.25)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "key#" not in part, f"key string in a blocking shuffle: {part}"
