@@ -609,10 +609,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
 
-    q["cosine_pairs"] = lambda s, d: (
-        ann.cosine_pairs(_emb(s, d), "vec_id", "embedding", min_cosine=0.4)
-        .select("id1", "id2", F.round("cosine", 6).alias("cosine"))
-    )
+    def _cosine_pairs(s, d):
+        # tagged union (same fold pattern as the mode rows): part='pair'
+        # rows are the exact cosine_pairs output; part='group' rows are
+        # embedding_near_dedup's grouping over the SAME threshold —
+        # (vec_id, dup_group, group_size, is_canonical) — so the composed
+        # operator (pairs -> connected components -> canonical grouping)
+        # sits inside the driver-checked window too. strategy="exact" keeps
+        # the grouping oracle-exact at any size.
+        emb = _emb(s, d)
+        pairs = ann.cosine_pairs(emb, "vec_id", "embedding", min_cosine=0.4).select(
+            F.lit("pair").alias("part"),
+            F.col("id1").alias("a"),
+            F.col("id2").alias("b"),
+            F.round("cosine", 6).alias("v"),
+            F.lit(None).cast("boolean").alias("flag"),
+        )
+        groups = ann.embedding_near_dedup(
+            emb, "vec_id", "embedding", min_cosine=0.4, strategy="exact"
+        ).select(
+            F.lit("group").alias("part"),
+            F.col("vec_id").alias("a"),
+            F.col("dup_group").alias("b"),
+            F.col("group_size").cast("double").alias("v"),
+            F.col("is_canonical").alias("flag"),
+        )
+        return pairs.unionByName(groups)
+
+    q["cosine_pairs"] = _cosine_pairs
 
     def _topk(s, d):
         emb = _emb(s, d)
@@ -743,7 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             x = np.full(width, sv, dtype=np.int16).astype(np.float32) / 32768.0
             return float(np.sqrt((x * x).mean(dtype=np.float32)).astype(np.float32))
 
-        rows, expected = [], []
+        rows, expected, wav_rows = [], [], []
         for i in range(42):
             if i % 3 == 0:
                 data, w, h, rgb = _ppm(i)
@@ -751,24 +775,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             elif i % 3 == 1:
                 data, n = _wav(i)
                 expected.append((f"m{i}", "audio", 8000, 1, n, _rms_feat0(i, n)))
+                wav_rows.append((f"m{i}", bytearray(data)))
+                # audio_spectral_features over the same clip (folded tagged
+                # rows, kind='audio-spec'): a constant-sample wave has ALL
+                # its spectral mass at DC in closed form — centroid 0 Hz,
+                # band-0 energy fraction 1 (0 for true silence); width =
+                # sample rate, height = n_samples, n_frames = round(band0 *
+                # 1e6) so both outputs ride the existing schema
+                sv = np.frombuffer(bytes([i % 256, (i * 7) % 256]), dtype="<i2")[0]
+                expected.append(
+                    (f"m{i}", "audio-spec", 8000, n, 1_000_000 if sv else 0, 0.0)
+                )
             else:
                 data, w, h, rgb = _png(i)
                 expected.append((f"m{i}", "image", w, h, 1, _gray_feat0(rgb)))
             rows.append((f"m{i}", bytearray(data)))
+
+        # MJPEG-in-mp4 docs (folded tagged rows, kind='video-frame'): each
+        # sample is a REAL baseline JPEG of a constant gray, decoded end to
+        # end by decode_mp4_frames (stbl byte ranges -> stdlib jpeg) —
+        # constant frames round-trip EXACTLY at qval=1, so feat0 is the
+        # closed-form float32 walk gray/255; one output row per frame with
+        # the sample index in n_frames and the doc_id suffixed '#<idx>'
+        from fozzie_spark.jpeg import encode_baseline_jpeg
+        from fozzie_spark.media import audio_spectral_features, decode_mp4_frames
+
+        def _box(fourcc, payload):
+            return (8 + len(payload)).to_bytes(4, "big") + fourcc + payload
+
+        def _fullbox(fourcc, payload):
+            return _box(fourcc, b"\x00\x00\x00\x00" + payload)
+
+        def _mjpeg_mp4(grays, w, h):
+            i4 = lambda x: x.to_bytes(4, "big")
+            jpegs = [encode_baseline_jpeg(np.full((h, w), g, dtype=np.uint8))
+                     for g in grays]
+            sizes = [len(j) for j in jpegs]
+
+            def build(offset):
+                mvhd = _fullbox(b"mvhd", i4(0) + i4(0) + i4(1000) + i4(1000) + b"\x00" * 80)
+                tkhd = _fullbox(b"tkhd", i4(0) + i4(0) + i4(1) + i4(0) + i4(1000)
+                                + b"\x00" * 52 + i4(w << 16) + i4(h << 16))
+                mdhd = _fullbox(b"mdhd", i4(0) + i4(0) + i4(1000) + i4(1000) + i4(0))
+                hdlr = _fullbox(b"hdlr", i4(0) + b"vide" + b"\x00" * 12 + b"V\x00")
+                stsd = _fullbox(b"stsd", i4(1) + _box(b"jpeg", b"\x00" * 70))
+                stsz = _fullbox(b"stsz", i4(0) + i4(len(sizes))
+                                + b"".join(i4(x) for x in sizes))
+                stsc = _fullbox(b"stsc", i4(1) + i4(1) + i4(len(sizes)) + i4(1))
+                stco = _fullbox(b"stco", i4(1) + i4(offset))
+                stss = _fullbox(b"stss", i4(1) + i4(1))
+                stbl = _box(b"stbl", stsd + stsz + stsc + stco + stss)
+                mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+                moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+                return _box(b"ftyp", b"isom" + i4(512) + b"mp41") + moov
+
+            head = build(0)
+            return build(len(head) + 8) + _box(b"mdat", b"".join(jpegs))
+
+        def _g255(g):
+            return float(np.float32(float(g)) / np.float32(255.0))
+
+        mp4_rows = []
+        for i in range(3):
+            grays = [30 + 40 * i, 210 - 40 * i]
+            w, h = 16 + 8 * i, 8 + 8 * i
+            mp4_rows.append((f"v{i}", bytearray(_mjpeg_mp4(grays, w, h))))
+            for j, g in enumerate(grays):
+                expected.append((f"v{i}#{j}", "video-frame", w, h, j, _g255(g)))
+
         s.createDataFrame(
             expected,
             "doc_id string, kind string, width long, height long, n_frames long, feat0 double",
         ).coalesce(1).write.mode("overwrite").parquet(f"{_SIDECAR}/media_expected")
 
         df = s.createDataFrame(rows, "doc_id string, media_bytes binary")
-        out = decode_media_features(df, feat_dim=16)
-        return out.select(
+        out = decode_media_features(df, feat_dim=16).select(
             "doc_id", "kind",
             F.col("width").cast("bigint").alias("width"),
             F.col("height").cast("bigint").alias("height"),
             F.col("n_frames").cast("bigint").alias("n_frames"),
             F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
         )
+        spec = audio_spectral_features(
+            s.createDataFrame(wav_rows, "doc_id string, media_bytes binary")
+        ).select(
+            "doc_id", F.lit("audio-spec").alias("kind"),
+            F.col("sample_rate").cast("bigint").alias("width"),
+            F.col("n_samples").cast("bigint").alias("height"),
+            F.round(F.element_at("band_energy", 1).cast("double") * 1e6)
+            .cast("bigint").alias("n_frames"),
+            F.round("spectral_centroid_hz", 6).alias("feat0"),
+        )
+        frames = decode_mp4_frames(
+            s.createDataFrame(mp4_rows, "doc_id string, media_bytes binary"),
+            feat_dim=16,
+        ).select(
+            F.concat("doc_id", F.lit("#"), F.col("sample_idx").cast("string")).alias("doc_id"),
+            F.lit("video-frame").alias("kind"),
+            F.col("width").cast("bigint").alias("width"),
+            F.col("height").cast("bigint").alias("height"),
+            F.col("sample_idx").cast("bigint").alias("n_frames"),
+            F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat0"),
+        )
+        return out.unionByName(spec).unionByName(frames)
 
     q["media_decode"] = _media
 
@@ -853,13 +962,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 rows.append((f"p{i}", bytearray(_png_hdr(w, h))))
                 expected.append((f"p{i}", "png", "image", w, h, 1, None, "png"))
         rows.append(("bad", bytearray(b"\x00\x01notmedia")))  # on_error=skip drops it
+
+        # mp4_sample_ranges (folded tagged rows, container='mp4-sample'):
+        # mp4s with REAL stbl sample tables — non-uniform stsz + stsc runs +
+        # stco offsets + stss, and a uniform-stsz single-chunk variant —
+        # mapped one row per sample onto the probe schema (width=sample_idx,
+        # height=size, n_frames=is_sync, duration_ms=absolute byte offset).
+        # The expected rows replicate the chunk walk in closed form from
+        # the generator parameters; the oracle never runs the operator.
+        from fozzie_spark.media import mp4_sample_ranges
+
+        def _mp4_ranges_doc(sizes, chunk_sizes, stsc_runs, sync, uniform=0):
+            i4 = lambda x: x.to_bytes(4, "big")
+
+            def build(offsets):
+                mvhd = _fullbox(b"mvhd", i4(0) + i4(0) + i4(1000) + i4(1000) + b"\x00" * 80)
+                tkhd = _fullbox(b"tkhd", i4(0) + i4(0) + i4(1) + i4(0) + i4(1000)
+                                + b"\x00" * 52 + i4(64 << 16) + i4(64 << 16))
+                mdhd = _fullbox(b"mdhd", i4(0) + i4(0) + i4(1000) + i4(1000) + i4(0))
+                hdlr = _fullbox(b"hdlr", i4(0) + b"vide" + b"\x00" * 12 + b"V\x00")
+                stsd = _fullbox(b"stsd", i4(1) + _box(b"avc1", b"\x00" * 70))
+                if uniform:
+                    stsz = _fullbox(b"stsz", i4(uniform) + i4(len(sizes)))
+                else:
+                    stsz = _fullbox(b"stsz", i4(0) + i4(len(sizes))
+                                    + b"".join(i4(x) for x in sizes))
+                stsc = _fullbox(b"stsc", i4(len(stsc_runs))
+                                + b"".join(i4(fc) + i4(spc) + i4(1)
+                                           for fc, spc in stsc_runs))
+                stco = _fullbox(b"stco", i4(len(offsets))
+                                + b"".join(i4(o) for o in offsets))
+                body = stsd + stsz + stsc + stco
+                if sync is not None:
+                    body += _fullbox(b"stss", i4(len(sync))
+                                     + b"".join(i4(x) for x in sync))
+                stbl = _box(b"stbl", body)
+                mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+                moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+                return _box(b"ftyp", b"isom" + i4(512) + b"mp41") + moov
+
+            head = build([0] * len(chunk_sizes))
+            base = len(head) + 8
+            offsets, ranges, si = [], [], 0
+            for nc in chunk_sizes:
+                offsets.append(base)
+                for _ in range(nc):
+                    ranges.append((si, base, sizes[si],
+                                   sync is None or (si + 1) in sync))
+                    base += sizes[si]
+                    si += 1
+            data = build(offsets) + _box(b"mdat", bytes(sum(sizes)))
+            return data, ranges
+
+        range_rows = []
+        r0, exp0 = _mp4_ranges_doc(
+            [10, 20, 30, 40, 50, 60, 70], [3, 2, 2],
+            stsc_runs=[(1, 3), (2, 2)], sync={1, 4},
+        )
+        r1, exp1 = _mp4_ranges_doc(
+            [24] * 5, [5], stsc_runs=[(1, 5)], sync=None, uniform=24,
+        )
+        for did, exp in (("r0", exp0), ("r1", exp1)):
+            range_rows.append((did, bytearray(r0 if did == "r0" else r1)))
+            for si, off, size, is_sync in exp:
+                expected.append((f"{did}#{si}", "mp4-sample", "video",
+                                 si, size, int(is_sync), off, "avc1"))
+
         s.createDataFrame(
             expected,
             "doc_id string, container string, kind string, width int, height int, "
             "n_frames int, duration_ms bigint, codec string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{_SIDECAR}/probe_expected")
         df = s.createDataFrame(rows, "doc_id string, media_bytes binary")
-        return probe_media(df)
+        ranges = mp4_sample_ranges(
+            s.createDataFrame(range_rows, "doc_id string, media_bytes binary")
+        ).select(
+            F.concat("doc_id", F.lit("#"), F.col("sample_idx").cast("string")).alias("doc_id"),
+            F.lit("mp4-sample").alias("container"),
+            F.lit("video").alias("kind"),
+            F.col("sample_idx").cast("int").alias("width"),
+            F.col("size").cast("int").alias("height"),
+            F.col("is_sync").cast("int").alias("n_frames"),
+            F.col("offset").cast("bigint").alias("duration_ms"),
+            F.lit("avc1").alias("codec"),
+        )
+        return probe_media(df).unionByName(ranges)
 
     q["media_probe"] = _media_probe
 
@@ -1576,14 +1763,40 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, min(doc_id) OVER (PARTITION BY comp) AS entity_rep FROM keyed
     """
+    # part='pair': exact threshold pairs; part='group': embedding_near_dedup's
+    # grouping re-derived INDEPENDENTLY — recursive-CTE connected components
+    # over the exact pair set, dup_group = min vec_id per component
+    # (singletons group to themselves), window'd size + canonical flag
     o["cosine_pairs"] = """
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         p AS (
           SELECT a.vec_id AS id1, b.vec_id AS id2,
                  list_cosine_similarity(a.v, b.v) AS c
-          FROM e a, e b WHERE a.vec_id < b.vec_id
+          FROM e a, e b WHERE a.vec_id < b.vec_id AND
+                              list_cosine_similarity(a.v, b.v) >= 0.4
+        ),
+        und AS (SELECT id1 AS x, id2 AS y FROM p UNION SELECT id2, id1 FROM p),
+        reach(x, y) AS (
+          SELECT x, y FROM und
+          UNION
+          SELECT r.x, u.y FROM reach r JOIN und u ON r.y = u.x
+        ),
+        comp AS (SELECT x AS k, least(x, min(y)) AS c FROM reach GROUP BY x),
+        g AS (
+          SELECT e.vec_id, coalesce(comp.c, e.vec_id) AS grp
+          FROM e LEFT JOIN comp ON comp.k = e.vec_id
+        ),
+        gs AS (
+          SELECT vec_id, grp,
+                 count(*) OVER (PARTITION BY grp) AS gsz,
+                 (vec_id = min(vec_id) OVER (PARTITION BY grp)) AS canon
+          FROM g
         )
-        SELECT id1, id2, round(c, 6) AS cosine FROM p WHERE c >= 0.4
+        SELECT 'pair' AS part, id1 AS a, id2 AS b, round(c, 6) AS v,
+               CAST(NULL AS BOOLEAN) AS flag
+        FROM p
+        UNION ALL
+        SELECT 'group', vec_id, grp, CAST(gsz AS DOUBLE), canon FROM gs
     """
     # precision-1.0 oracle for the (approximate-recall) LSH pairs: the
     # sidecar'd emitted pairs must each be a TRUE >= min_cosine pair with the

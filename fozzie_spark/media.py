@@ -621,12 +621,14 @@ SAMPLE_RANGE_SCHEMA = (
 
 
 def _mp4_sample_table(data: bytes, kind: str = "video"):
-    """(sample_idx, byte_offset, byte_size, is_sync) rows for the first
-    track of `kind`, from the stbl sample tables: stsz (sizes), stsc
-    (chunk -> samples-per-chunk runs), stco/co64 (chunk offsets), stss
-    (sync samples; absent => every sample is sync). Sample indices are
-    0-based; offsets are absolute file positions — at corpus scale these
-    become ranged reads against the object store, no mdat scan."""
+    """(codec, rows) for the first track of `kind`: codec is the stsd
+    sample-entry fourcc ("avc1", "jpeg", ...) and rows are (sample_idx,
+    byte_offset, byte_size, is_sync) from the stbl sample tables: stsz
+    (sizes), stsc (chunk -> samples-per-chunk runs), stco/co64 (chunk
+    offsets), stss (sync samples; absent => every sample is sync). Sample
+    indices are 0-based; offsets are absolute file positions — at corpus
+    scale these become ranged reads against the object store, no mdat
+    scan."""
     moov = _find_box(data, 0, len(data), b"moov")
     if moov is None:
         raise ValueError("no moov box")
@@ -657,6 +659,10 @@ def _mp4_sample_table(data: bytes, kind: str = "video"):
             stco, wide = full(b"co64"), True
         if stsz is None or stsc is None or stco is None:
             raise ValueError("track is missing stsz/stsc/stco sample tables")
+        codec = ""
+        stsd = full(b"stsd")
+        if stsd is not None and int.from_bytes(data[stsd:stsd + 4], "big"):
+            codec = data[stsd + 8:stsd + 12].decode("latin1")
 
         uniform = int.from_bytes(data[stsz:stsz + 4], "big")
         n_samples = int.from_bytes(data[stsz + 4:stsz + 8], "big")
@@ -706,7 +712,7 @@ def _mp4_sample_table(data: bytes, kind: str = "video"):
                 rows.append((si, off, sizes[si], sync is None or si in sync))
                 off += sizes[si]
                 si += 1
-        return rows
+        return codec, rows
     raise ValueError(f"no {kind} track with sample tables")
 
 
@@ -736,7 +742,7 @@ def mp4_sample_ranges(
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
                 try:
-                    for si, off, size, is_sync in _mp4_sample_table(bytes(data), kind):
+                    for si, off, size, is_sync in _mp4_sample_table(bytes(data), kind)[1]:
                         if sync_only and not is_sync:
                             continue
                         rows.append((doc_id, si, off, size, is_sync))
@@ -749,6 +755,81 @@ def mp4_sample_ranges(
             )
 
     return src.mapInPandas(_ranges_batch, SAMPLE_RANGE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id string, sample_idx int, width int, height int, is_sync boolean, "
+    "feature array<float>"
+)
+
+#: stsd sample-entry fourccs whose samples are self-contained JPEG images
+_MJPEG_CODECS = {"jpeg", "mjpa", "mjpb", "JPEG"}
+
+
+def decode_mp4_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bytes_col: str = "media_bytes",
+    feat_dim: int = 16,
+    sync_only: bool = False,
+    max_frames: int | None = None,
+    on_error: str = "skip",
+) -> DataFrame:
+    """Decode MJPEG-in-mp4 video frames end-to-end with the stdlib: the
+    stbl sample index (`_mp4_sample_table`) yields each sample's byte
+    range, every MJPEG sample IS a complete JPEG image, and
+    `jpeg.decode_baseline_jpeg` turns it into pixels — one row per decoded
+    frame (doc_id, sample_idx, width, height, is_sync, pooled grayscale
+    feature like `decode_media_features`).
+
+    `sync_only` decodes keyframes only; `max_frames` caps frames per doc
+    (taken in sample order) — at 100-TB scale the range plan means those
+    are the ONLY bytes a remote fetch would read, never the whole mdat.
+    Non-MJPEG codecs (avc1/hev1/... — inter-frame codecs that need a real
+    video decoder) raise NotImplementedError, handled per `on_error`
+    ("skip" drops the doc, "error" re-raises). Arrow-batched mapInPandas,
+    same shape as probe_media."""
+    if on_error not in ("skip", "error"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+    from fozzie_spark.jpeg import decode_baseline_jpeg
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(bytes_col).alias("data"))
+    grid = max(int(feat_dim**0.5), 1)
+
+    def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                try:
+                    b = bytes(data)
+                    codec, samples = _mp4_sample_table(b, "video")
+                    if codec not in _MJPEG_CODECS:
+                        raise NotImplementedError(
+                            f"mp4 video codec {codec!r} needs an inter-frame "
+                            "decoder (only MJPEG samples decode with the stdlib)"
+                        )
+                    taken = 0
+                    for si, off, size, is_sync in samples:
+                        if sync_only and not is_sync:
+                            continue
+                        if max_frames is not None and taken >= max_frames:
+                            break
+                        img = decode_baseline_jpeg(b[off:off + size])
+                        rows.append((
+                            doc_id, si, img.shape[1], img.shape[0], is_sync,
+                            _image_feature(img, grid),
+                        ))
+                        taken += 1
+                except Exception:
+                    if on_error == "error":
+                        raise
+                    continue
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_idx", "width", "height", "is_sync", "feature"],
+            )
+
+    return src.mapInPandas(_frames_batch, FRAME_SCHEMA)
 
 
 # ---- audio spectral features -------------------------------------------------

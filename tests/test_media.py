@@ -409,7 +409,7 @@ def test_mp4_sample_table_local():
     from fozzie_spark.media import _mp4_sample_table
 
     data, expected = mp4_bytes_with_samples()
-    assert _mp4_sample_table(data, "video") == expected
+    assert _mp4_sample_table(data, "video") == ("avc1", expected)
     # samples must land inside the mdat payload
     for _idx, off, size, _sync in expected:
         assert off + size <= len(data)
@@ -479,3 +479,78 @@ def test_audio_spectral_features(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):
         audio_spectral_features(df, on_error="error").collect()
+
+
+# ---- MJPEG-in-mp4 frame decode ------------------------------------------------
+
+
+def mjpeg_mp4_bytes(grays, w=16, h=8, codec=b"jpeg", sync=(1,)):
+    """mp4 whose video samples are REAL baseline JPEGs (one constant-gray
+    frame per entry in `grays`), single chunk, stss = `sync` (1-based).
+    Returns (bytes, jpeg_sample_bytes list)."""
+    import numpy as np
+
+    from fozzie_spark.jpeg import encode_baseline_jpeg
+
+    i4 = lambda x: x.to_bytes(4, "big")
+    jpegs = [encode_baseline_jpeg(np.full((h, w), g, dtype=np.uint8)) for g in grays]
+    sizes = [len(j) for j in jpegs]
+
+    def build(offset):
+        mvhd = _full(b"mvhd", 0, i4(0) + i4(0) + i4(1000) + i4(1000) + b"\x00" * 80)
+        tkhd = _full(b"tkhd", 0, i4(0) + i4(0) + i4(1) + i4(0) + i4(1000)
+                     + b"\x00" * 52 + i4(w << 16) + i4(h << 16))
+        mdhd = _full(b"mdhd", 0, i4(0) + i4(0) + i4(1000) + i4(1000) + i4(0))
+        hdlr = _full(b"hdlr", 0, i4(0) + b"vide" + b"\x00" * 12 + b"V\x00")
+        stsd = _full(b"stsd", 0, i4(1) + _box(codec, b"\x00" * 70))
+        stsz = _full(b"stsz", 0, i4(0) + i4(len(sizes)) + b"".join(i4(s) for s in sizes))
+        stsc = _full(b"stsc", 0, i4(1) + i4(1) + i4(len(sizes)) + i4(1))
+        stco = _full(b"stco", 0, i4(1) + i4(offset))
+        stss = _full(b"stss", 0, i4(len(sync)) + b"".join(i4(s) for s in sync))
+        stbl = _box(b"stbl", stsd + stsz + stsc + stco + stss)
+        mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+        moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+        return _box(b"ftyp", b"isom" + i4(512) + b"mp41") + moov
+
+    head = build(0)
+    data = build(len(head) + 8) + _box(b"mdat", b"".join(jpegs))
+    return data, jpegs
+
+
+def test_decode_mp4_frames_golden(spark):
+    # constant-gray MJPEG frames round-trip EXACTLY through the stdlib
+    # encoder/decoder at qval=1, so every pooled feature value is the
+    # closed-form gray/255 — pins the stbl-range -> jpeg glue end to end
+    import numpy as np
+
+    from fozzie_spark.media import decode_mp4_frames
+
+    grays = [40, 200, 129]
+    data, _ = mjpeg_mp4_bytes(grays, w=16, h=8)
+    avc, _ = mp4_bytes_with_samples()  # non-MJPEG codec: skipped
+    df = spark.createDataFrame(
+        [("v0", bytearray(data)), ("avc", bytearray(avc)), ("bad", bytearray(b"xx"))],
+        "doc_id string, media_bytes binary",
+    )
+    rows = sorted(
+        (r["doc_id"], r["sample_idx"], r["width"], r["height"], r["is_sync"],
+         tuple(r["feature"]))
+        for r in decode_mp4_frames(df, feat_dim=4).collect()
+    )
+    exp = [
+        ("v0", i, 16, 8, i == 0,
+         tuple(np.full(4, g, dtype=np.float64).astype(np.float32) / np.float32(255.0)))
+        for i, g in enumerate(grays)
+    ]
+    assert rows == exp
+    # sync_only + max_frames cut the decode set, not just the output
+    sync = decode_mp4_frames(df, sync_only=True).collect()
+    assert [(r["doc_id"], r["sample_idx"]) for r in sync] == [("v0", 0)]
+    capped = decode_mp4_frames(df, max_frames=2).collect()
+    assert sorted((r["doc_id"], r["sample_idx"]) for r in capped) == [("v0", 0), ("v0", 1)]
+    # on_error="error" surfaces the honest boundary for inter-frame codecs
+    with pytest.raises(Exception, match="avc1|nonsense|moov"):
+        decode_mp4_frames(
+            spark.createDataFrame([("a", bytearray(avc))], "doc_id string, media_bytes binary"),
+            on_error="error",
+        ).collect()
