@@ -551,18 +551,21 @@ def cosine_candidates_ids(
     prefix_mode: str = "prefix",
     sig_words: int = 0,
     max_gram_df: int | None = None,
+    bin_words: int = 0,
 ) -> DataFrame:
     """SELF-join multiset-cosine candidates over a precomputed profile
     frame — the id-keyed twin of `_cosine_prefix_candidates` (weighted
     AllPairs, Bayardo WWW'07); shuffles ids + grams, never key strings.
 
     `prof` columns: `id_col` (orderable), `__fz_cm` (map gram -> multiset
-    count). Self-join semantics: probe side == index side == all keys, so
-    mw(g) = max over ALL keys of the normalized weight and the unindex
-    bounds hold for every ordered direction; all-tokens x indexed-suffix
-    with id != id2 is a lossless superset (each true pair is caught in
-    both directions). Empty profiles have no tokens and cosine dist 1.0 —
-    unreachable at tau < 1 (callers refuse tau >= 1).
+    count). prefix mode joins GLOBAL-ORDER PREFIX x PREFIX (see the inline
+    derivation at the join below) — r6 change from the r5 all-tokens x
+    greedy-suffix form: the shared total order lets the join keep one
+    ordered direction (id < id2) and cuts the hot-gram join terms from
+    df(g)·df_kept(g) to df_kept(g)², at the price of a head-constrained
+    (instead of per-key greedy knapsack) unindex set. Empty profiles have
+    no tokens and cosine dist 1.0 — unreachable at tau < 1 (callers
+    refuse tau >= 1).
 
     sig_words > 0: `prof` also carries Bloom words __fz_sig0..N-1; they
     ride the token rows and the count-scaled popcount cut
@@ -570,14 +573,35 @@ def cosine_candidates_ids(
     dot <= s*cmax1*cmax2) runs INSIDE the candidate join, before the
     pair stream hits the distinct's shuffle.
 
+    bin_words > 0 (requires sig_words): the JOIN-TIME BIN BOUND — the
+    edges stage's 128-bin gram-mass refine at reduced resolution, moved
+    INSIDE the candidate join. Each key carries `bin_words` pre-sqrt'd
+    per-bin L2 masses of its normalized gram weights (bin = xxhash64(g)
+    mod bin_words, computed map-side per key, riding the token rows like
+    the Bloom words), and per joined row
+
+        dot(x̂, ŷ) = Σ_k Σ_{g in bin k} x̂_g ŷ_g <= Σ_k ‖x̂_k‖·‖ŷ_k‖
+
+    (per-bin Cauchy-Schwarz) — rows with bound < t die inside the join.
+    The bound is a PAIR property (same value on every duplicate row), so
+    a pruned pair loses ALL its rows before the distinct's exchange: this
+    attacks the candidate-distinct sort spill directly, unlike per-row
+    positional bounds (measured r6: PPJoin-style positional prefix/suffix
+    bounds pruned 6 of 3.64M candidate pairs on the er-cosine corpus and
+    cost 3x pairs-stage wall from the probe-side agg they require —
+    rejected; see BENCH/BASELINE.md negative results).
+
     Returns distinct (id_col, id_col+"2") pairs with id < id2.
     """
     if max_distance >= 1.0:
         raise ValueError("cosine_candidates_ids requires max_distance < 1")
     id2 = id_col + "2"
     t = 1.0 - float(max_distance)
+    if bin_words and not sig_words:
+        raise ValueError("bin_words requires sig_words (the er signature path)")
     sigw = [f"__fz_sig{i}" for i in range(sig_words)]
-    stat_names = ["__fz_nrm", "__fz_cx", *sigw] if sig_words else []
+    binc = ["__fz_bins"] if bin_words else []
+    stat_names = ["__fz_nrm", "__fz_cx", *sigw, *binc] if sig_words else []
     nrm = F.sqrt(
         F.aggregate(
             F.map_values("__fz_cm").cast("array<double>"),
@@ -590,6 +614,26 @@ def cosine_candidates_ids(
         if sig_words
         else []
     )
+    if bin_words:
+        # pre-sqrt'd per-bin L2 masses of the key's NORMALIZED weights —
+        # one O(bin_words * g) map-side expression per key; the division
+        # by the norm distributes out of the per-bin sums
+        bins = F.transform(
+            F.sequence(F.lit(0), F.lit(bin_words - 1)),
+            lambda k: F.sqrt(
+                F.aggregate(
+                    F.map_entries("__fz_cm"),
+                    F.lit(0.0),
+                    lambda acc, e: acc
+                    + F.when(
+                        F.pmod(F.xxhash64(e["key"]), F.lit(bin_words)) == k,
+                        e["value"].cast("double") * e["value"].cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                )
+            )
+            / nrm,
+        )
+        carry0 = [*carry0, bins.alias("__fz_bins")]
     tok = (
         prof.select(
             id_col,
@@ -625,7 +669,26 @@ def cosine_candidates_ids(
             "__fz_g",
             *[F.col(c).alias(c + "_2") for c in stat_names],
         )
+        joined = tok.select(id_col, "__fz_g", *stat_names).join(indexed, "__fz_g").where(
+            F.col(id_col) != F.col(id2)
+        )
     else:
+        # GLOBAL-ORDER prefix x prefix self-join (Bayardo WWW'07 self-join
+        # form; Vernica et al. SIGMOD'10 for the distributed shape): one
+        # shared total order — hot grams FIRST, i.e. (-df, g) ascending —
+        # and per key the maximal hot HEAD whose unindex bounds stay under
+        # t (same two lossless budgets as before: running max-weight dot
+        # Σ mw(g)·x̂_g < t, OR running L2 mass ‖x̂_head‖² < t²) is dropped;
+        # the rare tail is the key's PREFIX. For a true pair, its rarest
+        # common gram g* must sit in BOTH prefixes (if g* fell in either
+        # key's hot head, every common gram would too — the order is
+        # shared — and that head's own budget caps the similarity under
+        # t), so prefix x prefix is a lossless candidate superset. vs the
+        # r5 all-tokens x suffix join this cuts the raw joined-row volume
+        # from Σ_g df(g)·df_kept(g) to Σ_g df_kept(g)² AND the per-pair
+        # duplicate factor to the common-prefix gram count — the
+        # join-time attack on the candidate-distinct sort spill (the 200k
+        # er-cosine disk envelope).
         t_eff = (1.0 - float(max_distance)) - 1e-9
         t_sq = t_eff * t_eff
         stats = tok.groupBy("__fz_g").agg(
@@ -643,10 +706,10 @@ def cosine_candidates_ids(
             F.array_sort(
                 F.collect_list(
                     F.struct(
-                        (F.col("__fz_b") / (F.col("__fz_df") + 1)).alias("r"),
+                        (-F.col("__fz_df")).alias("nd"),  # hot first
+                        F.col("__fz_g").alias("g"),
                         F.col("__fz_b").alias("b"),
                         F.col("__fz_sq").alias("sq"),
-                        F.col("__fz_g").alias("g"),
                     )
                 )
             ).alias("__fz_s"),
@@ -669,16 +732,24 @@ def cosine_candidates_ids(
             lambda cb, cq: (cb < F.lit(t_eff)) | (cq < F.lit(t_sq)),
         )
         p = F.size(F.filter(heads_ok, lambda v: v))
-        indexed = agg.select(
-            F.col(id_col).alias(id2),
-            *[F.col(c).alias(c + "_2") for c in stat_names],
+        kept = agg.select(
+            id_col,
+            *stat_names,
             F.explode(
                 F.slice("__fz_s", p + 1, F.greatest(F.size("__fz_s") - p, F.lit(0)))
             ).alias("__fz_e"),
-        ).select(id2, *[c + "_2" for c in stat_names], F.col("__fz_e.g").alias("__fz_g"))
-    joined = tok.select(id_col, "__fz_g", *stat_names).join(indexed, "__fz_g").where(
-        F.col(id_col) != F.col(id2)
-    )
+        ).select(id_col, *stat_names, F.col("__fz_e.g").alias("__fz_g"))
+        right = kept.select(
+            F.col(id_col).alias(id2),
+            *[F.col(c).alias(c + "_2") for c in stat_names],
+            "__fz_g",
+        )
+        # id < id2, not id != id2: the symmetric kept x kept join finds
+        # every pair at g* in BOTH directions, so keeping one ordered
+        # direction is lossless and HALVES the pre-distinct row volume
+        # (the r5 all-tokens x suffix join only guaranteed >= 1 direction
+        # and had to keep both)
+        joined = kept.join(right, "__fz_g").where(F.col(id_col) < F.col(id2))
     if sig_words:
         s_min = F.ceil(
             F.lit(t) * F.col("__fz_nrm") * F.col("__fz_nrm_2")
@@ -686,6 +757,13 @@ def cosine_candidates_ids(
             - F.lit(1e-9)
         )
         joined = joined.where(_popcount_cut(s_min, sig_words))
+    if bin_words:
+        bin_dot = F.aggregate(
+            F.zip_with("__fz_bins", "__fz_bins_2", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        joined = joined.where(bin_dot >= F.lit(t - 1e-9))
     return (
         joined.select(
             F.least(id_col, id2).alias(id_col), F.greatest(id_col, id2).alias(id2)

@@ -54,6 +54,17 @@ def key_id(col):
 #: 512-bit Bloom signature = 8 longs; grams are PARTITIONED across the 8
 #: words by hash so each word stays sparse (~n/8 grams -> low AND noise)
 NSIG = 8
+#: edges-stage dictionary broadcast gate (bytes); a test hook and a knob
+#: for driver-memory-constrained deployments
+EDGES_DICT_BROADCAST_BYTES = 256 << 20
+#: join-time per-bin Cauchy-Schwarz words for the cosine candidate builder
+#: (0 disables; see blocking.cosine_candidates_ids). OFF by default after
+#: measurement: on the 20k er-cosine corpus the bound pruned 52 of 2.99M
+#: candidates while adding ~33 s (2x) to the pairs stage — the per-joined-row
+#: zip_with aggregate costs far more than the dup-scoring it saves. The knob
+#: stays for short-key/sparse-bin corpora where the bound discriminates
+#: (43% pruning on the 3-letter adversarial corpus, tests/test_blocking.py).
+COSINE_BIN_WORDS = 0
 
 #: per-bin gram-mass signature width for the qgram/cosine edge refine:
 #: discriminating while distinct-gram count << MASS_BINS (name/sentence
@@ -129,6 +140,7 @@ def er_pipeline(
     table_format: str = "parquet",
     reliable_cc: bool = False,
     collect_metrics: bool = True,
+    edges_chunk_bytes: int = 24 << 30,
 ) -> dict[str, DataFrame]:
     """Run the pipeline; returns dict of stage DataFrames
     (keys, pairs, edges, clusters, entities).
@@ -143,7 +155,16 @@ def er_pipeline(
 
     collect_metrics=False skips the per-partition row-count job each stage
     runs after its write (lineage manifests keep observed metrics) — the
-    right setting at full scale where that extra scan is measurable."""
+    right setting at full scale where that extra scan is measurable.
+
+    edges_chunk_bytes bounds the qgram/cosine refine join's in-flight
+    exchange working set (candidate rows x both sides' mass-signature
+    payloads) when the dictionary is past the broadcast gate: candidates
+    are refined + scored in sequential pair-hash chunks whose union is
+    byte-equal to the single pass. A result-neutral EXECUTION knob (not
+    part of the resume config hash): raise it to the cluster's aggregate
+    shuffle-disk headroom; the 24 GB default fits the single-box
+    envelope."""
     if method not in SUPPORTED_METHODS:
         raise ValueError(
             f"er_pipeline blocking is not recall-sound for method {method!r}; "
@@ -338,6 +359,7 @@ def er_pipeline(
                 cand = B.cosine_candidates_ids(
                     prof, "kid", max_distance, prefix_mode=mode, sig_words=NSIG,
                     max_gram_df=cap if n_capped else None,
+                    bin_words=COSINE_BIN_WORDS,
                 )
             obs = Observation()
             cand = cand.observe(obs, F.count(F.lit(1)).alias("raw_candidates"))
@@ -762,19 +784,58 @@ def er_pipeline(
             # msig doubles + Bloom words + per-key stats
             n_u * (MASS_BINS * 8 + NSIG * 8 + 48) if refine is not None else 0
         )
-        if n_u < 5_000_000 and dict_bytes < (256 << 20):
+        broadcastable = n_u < 5_000_000 and dict_bytes < EDGES_DICT_BROADCAST_BYTES
+        if broadcastable:
             dict_a, dict_b = F.broadcast(dict_a), F.broadcast(dict_b)
-        out = scored_input.join(dict_a, "kid").join(dict_b, "kid2")
-        if refine is not None:
-            # bound filter runs JVM-side BEFORE the Arrow scorer: project
-            # the signature payloads away so survivors cross to Python as
-            # bare key strings
-            out = out.where(refine).select("kid", "kid2", "__k1", "__k2")
-        return (
-            out.withColumn("dist", dist)
-            .where(F.col("dist") <= max_distance)
-            .select("kid", "kid2", "dist")
-        )
+
+        def _score(cand):
+            out = cand.join(dict_a, "kid").join(dict_b, "kid2")
+            if refine is not None:
+                # bound filter runs JVM-side BEFORE the Arrow scorer:
+                # project the signature payloads away so survivors cross
+                # to Python as bare key strings
+                out = out.where(refine).select("kid", "kid2", "__k1", "__k2")
+            return (
+                out.withColumn("dist", dist)
+                .where(F.col("dist") <= max_distance)
+                .select("kid", "kid2", "dist")
+            )
+
+        if refine is not None and not broadcastable:
+            # BOUNDED-WORKING-SET refine (r6): past the broadcast gate, the
+            # two shuffle dictionary joins move every candidate row through
+            # the kid2 exchange CARRYING side-1's full refine payload
+            # (~MASS_BINS*8 + NSIG*8 + stats + key ≈ 1.1 KB/row) — at the
+            # 200k-entity er-cosine run that is 284M pairs x ~1.1 KB ≈
+            # 300 GB of exchange+sort, which is what actually breached the
+            # single-box disk envelope once the r6 pairs stage stopped
+            # dying first. Chunk the candidate set by pair hash and refine
+            # + score each chunk SEQUENTIALLY (parquet append), so the
+            # in-flight exchange working set stays under
+            # `edges_chunk_bytes` regardless of candidate volume. Results
+            # are a disjoint partition of the same pair set — byte-equal
+            # union. On a real cluster the budget models aggregate shuffle
+            # disk; size it so k_chunks == 1 when the fleet can hold the
+            # exchange.
+            n_pairs = runner.metric("pairs", "rows")
+            if n_pairs is None:
+                from fozzie_spark.blocking import _plan_size_bytes
+
+                sz = _plan_size_bytes(scored_input)
+                # materialized (kid, kid2) pairs ≈ 36 B/row on disk
+                n_pairs = (sz // 36) if sz else 0
+            per_side = MASS_BINS * 8 + NSIG * 8 + 48 + key_bytes // max(n_u, 1)
+            est = int(n_pairs) * 2 * per_side
+            k_chunks = min(max(1, -(-est // int(edges_chunk_bytes))), 1024)
+            if k_chunks > 1:
+                tmp = f"{checkpoint_dir.rstrip('/')}/edges_chunks"
+                sel = F.pmod(F.xxhash64("kid", "kid2"), F.lit(k_chunks))
+                for i in range(k_chunks):
+                    _score(scored_input.where(sel == i)).write.mode(
+                        "overwrite" if i == 0 else "append"
+                    ).parquet(tmp)
+                return spark.read.parquet(tmp)
+        return _score(scored_input)
 
     edges = runner.stage("edges", _edges, params=params, depends_on=refine_dep)
     for f in _edge_persists:  # edges output is parquet-backed now

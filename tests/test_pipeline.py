@@ -736,3 +736,37 @@ def test_killed_job_resumes_mid_stage(tmp_path):
     assert os.path.exists(entities_manifest)
     # the committed stage was REUSED by the resumed run, not rewritten
     assert os.path.getmtime(keys_manifest) == mtime
+
+
+def test_edges_chunked_refine_equivalence(spark, tmp_path, monkeypatch):
+    # past the broadcast gate AND past the exchange working-set budget, the
+    # cosine/qgram refine runs in sequential pair-hash chunks (bounded
+    # disk); the chunk union must be byte-equal to the single-pass run
+    import fozzie_spark.pipeline as P
+
+    docs = synth_documents(spark, 400).persist()
+    base = er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "one"),
+                       method="cosine", max_distance=0.25, q=3, resume=False)
+    want_edges = sorted(
+        ((r["kid"]["h1"], r["kid2"]["h1"]), round(r["dist"], 9))
+        for r in base["edges"].collect()
+    )
+    monkeypatch.setattr(P, "EDGES_DICT_BROADCAST_BYTES", 0)  # force shuffle dicts
+    forced = er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "chunk"),
+                         method="cosine", max_distance=0.25, q=3, resume=False,
+                         edges_chunk_bytes=8 << 20)  # forces a handful of chunks
+    assert os.path.isdir(str(tmp_path / "chunk" / "edges_chunks"))
+    got_edges = sorted(
+        ((r["kid"]["h1"], r["kid2"]["h1"]), round(r["dist"], 9))
+        for r in forced["edges"].collect()
+    )
+    assert got_edges == want_edges
+
+    def parts(out):
+        byid = {}
+        for r in out["entities"].select("doc_id", "entity_id").collect():
+            byid.setdefault(r["entity_id"], set()).add(r["doc_id"])
+        return {frozenset(v) for v in byid.values()}
+
+    assert parts(forced) == parts(base)
+    docs.unpersist()
