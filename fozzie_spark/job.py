@@ -102,7 +102,17 @@ def main(argv=None) -> int:
     spark = build_session("fozzie-er", args.cpus, args.shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
 
+    input_fp = None
     if args.synth_entities:
+        # synth plans embed pickled mapInPandas functions, so their
+        # semanticHash is not stable across JVM restarts — the generator
+        # args ARE the input identity, so pass them explicitly and the
+        # kill/resume contract holds across processes (pipeline.py
+        # _input_fingerprint documents the general rule)
+        input_fp = (
+            f"synth:{args.synth_entities}:{args.seed}"
+            f":{args.synth_hot_docs or 0}:{args.synth_hot_exact or 0}"
+        )
         if args.synth_hot_docs or args.synth_hot_exact:
             from fozzie_spark.synth import synth_documents_skewed
 
@@ -134,6 +144,7 @@ def main(argv=None) -> int:
         resume=not args.no_resume,
         reliable_cc=args.reliable_cc,
         collect_metrics=not args.no_partition_metrics,
+        input_fingerprint=input_fp,
     )
     runner = out["runner"]
     wall = time.time() - t0

@@ -34,6 +34,8 @@ Scale levers (100 TB story):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from fozzie_spark.blocking import _count_map_col, qgrams_col
@@ -124,6 +126,29 @@ def _bloom_sig_cols(gs_col) -> list:
     return [_sig(hashed, i).alias(f"s{i}") for i in range(NSIG)]
 
 
+def _input_fingerprint(docs: DataFrame):
+    """Deterministic input identity for the resume config hash.
+
+    File-backed plans hash their leaf files + schema — stable across
+    process restarts, so a killed job resumes (the north rule) and a
+    repointed/reshaped input invalidates. In-memory or generated plans
+    fall back to semanticHash, which is stable within a session but NOT
+    across JVM restarts when the plan embeds pickled Python functions
+    (mapInPandas/UDF bytes vary with hash randomization between
+    interpreters); callers that need cross-process resume over such
+    inputs must pass an explicit input_fingerprint (job.py derives one
+    from the synth args).
+    """
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        ident = "\n".join(sorted(files)) + "|" + docs.schema.simpleString()
+        return hashlib.sha256(ident.encode()).hexdigest()[:16]
+    return docs.semanticHash()
+
+
 def er_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -141,6 +166,7 @@ def er_pipeline(
     reliable_cc: bool = False,
     collect_metrics: bool = True,
     edges_chunk_bytes: int = 24 << 30,
+    input_fingerprint: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run the pipeline; returns dict of stage DataFrames
     (keys, pairs, edges, clusters, entities).
@@ -199,10 +225,13 @@ def er_pipeline(
         "ids": "xxh64x2",
         # input identity folded into the resume hash: same checkpoint_dir +
         # params but a DIFFERENT input plan (other path/table/synth args)
-        # must invalidate, not silently resume. semanticHash fingerprints
-        # the logical plan (paths + schema + expressions); in-place mutation
-        # of the same path remains out of scope (documented in checkpoint.py).
-        "input_fingerprint": docs.semanticHash(),
+        # must invalidate, not silently resume. In-place mutation of the
+        # same path remains out of scope (documented in checkpoint.py).
+        "input_fingerprint": (
+            input_fingerprint
+            if input_fingerprint is not None
+            else _input_fingerprint(docs)
+        ),
     }
     runner = StageRunner(
         spark, checkpoint_dir, run_config=params, resume=resume,

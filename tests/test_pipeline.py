@@ -695,6 +695,25 @@ def test_edges_dict_shuffle_join_path(spark, tmp_path, monkeypatch):
     docs.unpersist()
 
 
+def test_input_fingerprint_file_backed_deterministic(spark, tmp_path):
+    # file-backed plans must fingerprint identically across separate reads
+    # of the same path (the cross-process resume contract) and differently
+    # for a different path; generated plans fall back to semanticHash
+    from fozzie_spark.pipeline import _input_fingerprint
+
+    docs = synth_documents(spark, 50, seed=7)
+    pa_, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    docs.write.parquet(pa_)
+    docs.write.parquet(pb)
+    fa1 = _input_fingerprint(spark.read.parquet(pa_))
+    fa2 = _input_fingerprint(spark.read.parquet(pa_))
+    fb = _input_fingerprint(spark.read.parquet(pb))
+    assert fa1 == fa2
+    assert isinstance(fa1, str) and fa1 != fb
+    # generated (non-file) plan: semanticHash fallback, stable in-session
+    assert _input_fingerprint(docs) == _input_fingerprint(docs)
+
+
 def test_killed_job_resumes_mid_stage(tmp_path):
     # the north rule verbatim: "a killed job resumes mid-stage". Run the
     # real spark-submit entry in a subprocess, SIGKILL it after the keys
