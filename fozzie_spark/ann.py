@@ -42,17 +42,18 @@ def _plan_row_count(df: DataFrame) -> int | None:
 
 def _vec_row_bytes(df: DataFrame, vec_col: str) -> tuple[int | None, bool]:
     """Schema-derived bytes/row for an embedding frame: vector payload
-    (dim x element width — dim probed from ONE row, a single-partition
-    job, orders cheaper than the count it replaces) plus id/overhead pad.
-    Returns (row_bytes, is_empty); is_empty short-circuits routing (an
-    empty side never exceeds any threshold)."""
+    (dim x element width — dim probed from ONE non-null row, a
+    single-partition job, orders cheaper than the count it replaces) plus
+    id/overhead pad. Returns (row_bytes, is_empty); is_empty
+    short-circuits routing (a side with no non-null vectors produces no
+    pairs under any strategy, so it never exceeds any threshold)."""
     from pyspark.sql.types import ArrayType, FloatType
 
     try:
-        r = df.select(vec_col).first()
+        r = df.where(F.col(vec_col).isNotNull()).select(vec_col).first()
     except Exception:
         return None, False
-    if r is None or r[0] is None:
+    if r is None:
         return None, True
     elem = 8
     try:
@@ -116,6 +117,34 @@ def cosine_similarity_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_from_norms(a, b, na, nb):
+    """cosine with the per-row norms precomputed ONCE per side instead of
+    once per PAIR: `cosine_similarity_col` re-evaluates both norm
+    aggregations for every joined row, tripling the higher-order-function
+    work of a quadratic scoring join. Same expressions, same evaluation
+    order — results are bit-identical (guide §2.3: don't compute per pair
+    what is a per-row property)."""
+    return _dot(a, b) / (na * nb)
+
+
+def _spread_small(df: DataFrame, max_bytes: int = 1 << 30) -> DataFrame:
+    """Round-robin repartition a PROVABLY SMALL frame across the cluster's
+    cores. The exact scoring paths stream one side of a nested-loop join
+    with the side's SCAN partitioning — a small parquet file arrives as
+    one partition and pins the whole quadratic compute to a single core
+    (measured: the 500-vector exact cosine_pairs bench leg ran 4.7 s on
+    one task). Only fires when optimizer plan stats prove the frame small
+    (the linear shuffle is then negligible vs the quadratic compute);
+    unknown or large stats leave the plan untouched."""
+    from fozzie_spark.blocking import _plan_size_bytes
+
+    sz = _plan_size_bytes(df)
+    if sz is None or sz > max_bytes:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par)
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -163,15 +192,26 @@ def cosine_pairs(
         return lsh_cosine_pairs(
             df, id_col, vec_col, min_cosine, n_planes, bands, seed, other=other
         )
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    a = _spread_small(
+        df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    ).withColumn("__fz_na", _norm(F.col("v1")))
     if other is None:
-        b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+        b = df.select(
+            F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+        ).withColumn("__fz_nb", _norm(F.col("v2")))
         pairs = a.join(b, F.col("id1") < F.col("id2"))
     else:
-        b = other.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+        b = other.select(
+            F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+        ).withColumn("__fz_nb", _norm(F.col("v2")))
         pairs = a.crossJoin(b)
     return (
-        pairs.withColumn("cosine", cosine_similarity_col(F.col("v1"), F.col("v2")))
+        pairs.withColumn(
+            "cosine",
+            _cosine_from_norms(
+                F.col("v1"), F.col("v2"), F.col("__fz_na"), F.col("__fz_nb")
+            ),
+        )
         .where(F.col("cosine") >= min_cosine)
         .select("id1", "id2", "cosine")
     )
@@ -235,18 +275,20 @@ def cosine_topk(
             dim = len(corpus.select(vec_col).first()[0])
         qs = _banded(lsh_signatures(queries, id_col, vec_col, n_planes, seed, dim=dim),
                      n_planes, bands).select(
-            F.col("id").alias("query_id"), F.col("v").alias("qv"), "band", "bh"
+            F.col("id").alias("query_id"), F.col("v").alias("qv"), "band", "bh",
+            _norm(F.col("v")).alias("__fz_nq"),
         )
         cs = _banded(lsh_signatures(corpus, id_col, vec_col, n_planes, seed, dim=dim),
                      n_planes, bands).select(
-            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "band", "bh"
+            F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "band", "bh",
+            _norm(F.col("v")).alias("__fz_nc"),
         )
 
         def _probe(probes):
             return (
                 probes.join(cs, ["band", "bh"])
                 .where(F.col("query_id") != F.col("neighbor_id"))
-                .select("query_id", "neighbor_id", "qv", "cv")
+                .select("query_id", "neighbor_id", "qv", "cv", "__fz_nq", "__fz_nc")
                 .distinct()
             )
 
@@ -267,6 +309,7 @@ def cosine_topk(
             flips = qs.join(starved, "query_id").select(
                 "query_id",
                 "qv",
+                "__fz_nq",
                 "band",
                 F.explode(
                     F.array(*[F.col("bh").bitwiseXOR(F.lit(1 << i)) for i in range(r)])
@@ -274,11 +317,21 @@ def cosine_topk(
             )
             scored = scored.unionByName(_probe(flips)).distinct()
     else:
-        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("__fz_nq"),
+        )
+        c = _spread_small(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        ).withColumn("__fz_nc", _norm(F.col("cv")))
         scored = q.crossJoin(c).where(F.col("query_id") != F.col("neighbor_id"))
 
-    scored = scored.withColumn("cosine", cosine_similarity_col(F.col("qv"), F.col("cv")))
+    scored = scored.withColumn(
+        "cosine",
+        _cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("__fz_nq"), F.col("__fz_nc")
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -359,14 +412,17 @@ def lsh_cosine_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     sigs = lsh_signatures(df, id_col, vec_col, n_planes, seed, dim=dim)
-    banded = _banded(sigs, n_planes, bands)
+    # per-SIDE norms computed before the band join so the verify step reads
+    # them as columns — `cosine_similarity_col` would re-aggregate both
+    # norms per candidate pair (bit-identical either way)
+    banded = _banded(sigs, n_planes, bands).withColumn("__fz_n", _norm(F.col("v")))
     if other is None:
         right, pred = banded, F.col("a.id") < F.col("b.id")
     else:
         right = _banded(
             lsh_signatures(other, id_col, vec_col, n_planes, seed, dim=dim),
             n_planes, bands,
-        )
+        ).withColumn("__fz_n", _norm(F.col("v")))
         pred = F.lit(True)
     cand = (
         banded.alias("a")
@@ -375,11 +431,17 @@ def lsh_cosine_pairs(
         .select(
             F.col("a.id").alias("id1"), F.col("b.id").alias("id2"),
             F.col("a.v").alias("v1"), F.col("b.v").alias("v2"),
+            F.col("a.__fz_n").alias("__fz_na"), F.col("b.__fz_n").alias("__fz_nb"),
         )
         .distinct()
     )
     return (
-        cand.withColumn("cosine", cosine_similarity_col(F.col("v1"), F.col("v2")))
+        cand.withColumn(
+            "cosine",
+            _cosine_from_norms(
+                F.col("v1"), F.col("v2"), F.col("__fz_na"), F.col("__fz_nb")
+            ),
+        )
         .where(F.col("cosine") >= min_cosine)
         .select("id1", "id2", "cosine")
     )
@@ -509,17 +571,24 @@ def ivf_topk(
         ])
         return queries.sparkSession.createDataFrame([], schema)
     cs = ivf_assign(corpus, id_col, vec_col, cent, n_probe=1).select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell",
+        _norm(F.col("v")).alias("__fz_nc"),
     )
     qs = ivf_assign(queries, id_col, vec_col, cent, n_probe=n_probe).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell"
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell",
+        _norm(F.col("v")).alias("__fz_nq"),
     )
     scored = (
         qs.join(cs, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id", "qv", "cv", "__fz_nq", "__fz_nc")
         .distinct()
-        .withColumn("cosine", cosine_similarity_col(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            _cosine_from_norms(
+                F.col("qv"), F.col("cv"), F.col("__fz_nq"), F.col("__fz_nc")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

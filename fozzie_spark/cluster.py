@@ -399,6 +399,7 @@ def connected_components(
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v"))
     )
+    sz = None
     if driver_finish_bytes:
         from fozzie_spark.blocking import _plan_size_bytes
 
@@ -406,6 +407,26 @@ def connected_components(
         if sz is not None and sz <= driver_finish_bytes // 4:
             return _driver_finish_assign(raw)
     e = raw.distinct()
+    if driver_finish_bytes and sz is None:
+        # Unknown plan stats (LogicalRDD / join-product sentinel) mean the
+        # edge lineage may be an arbitrarily expensive candidate pipeline
+        # (near_dedup's minhash candidate join): the round loop would
+        # otherwise execute it at least TWICE — round 0 fuses the distinct
+        # into the first star job, and the final all-nodes join scans the
+        # raw edges again (measured +11 s on the sf0.1 near_dedup bench).
+        # Materialize the distinct edge set ONCE and measure exact payload
+        # octets in the same job; when it fits the driver gate, finish the
+        # whole assignment on the driver (components bit-identical —
+        # distinct does not change the graph) and free the cache before
+        # returning. Past the gate the persisted frame backs the rounds
+        # and the all-nodes join; its blocks are freed by the caller /
+        # ContextCleaner, the same contract as the round checkpoints.
+        e = e.persist()
+        row = e.agg(*_fingerprint_aggs(e.schema)).first()
+        if row[0] and row[2] is not None and row[2] <= driver_finish_bytes:
+            out = _driver_finish_assign(e)
+            e.unpersist()
+            return out
     all_nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
     if precontract:
         # OFF by default after measurement: the pass pays Python-worker
