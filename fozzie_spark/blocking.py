@@ -409,6 +409,37 @@ def ngram_candidates(
     return _cosine_prefix_candidates(lkeys, rkeys, lkey, rkey, max_distance, q)
 
 
+def _head_len(s_col, b_field: str, sq_field: str, t_eff: float, t_sq: float):
+    """Count of positions in the sorted struct array whose RUNNING bound
+    sums stay admissible: position i is counted iff cum(b)[0..i] < t_eff
+    OR cum(sq)[0..i] < t_sq. One O(g) aggregate carrying (cum_b, cum_sq,
+    count) — the previous form built two cumulative-sum ARRAYS by
+    per-element concat, O(g²) copies per key (measured as a double-digit
+    share of the cosine candidate stage at document gram counts). The
+    additions run in the same element order, so the counted positions are
+    bit-identical."""
+    return F.aggregate(
+        s_col,
+        F.struct(
+            F.lit(0.0).alias("cb"), F.lit(0.0).alias("cq"),
+            F.lit(0).cast("int").alias("p"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cb"] + x[b_field]).alias("cb"),
+            (acc["cq"] + x[sq_field]).alias("cq"),
+            (
+                acc["p"]
+                + F.when(
+                    ((acc["cb"] + x[b_field]) < F.lit(t_eff))
+                    | ((acc["cq"] + x[sq_field]) < F.lit(t_sq)),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("int").alias("p"),
+        ),
+        lambda acc: acc["p"],
+    )
+
+
 def _popcount_cut(s_min, sig_words: int, suffix: str = "_2"):
     """Count-scaled Bloom AND+popcount pass predicate over carried
     signature words __fz_sig{i} / __fz_sig{i}<suffix>.
@@ -716,22 +747,7 @@ def cosine_candidates_ids(
             *[F.first(c).alias(c) for c in stat_names],
         )
 
-        def _cums(field):
-            return F.aggregate(
-                F.col("__fz_s"),
-                F.array().cast("array<double>"),
-                lambda acc, x: F.concat(
-                    acc,
-                    F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + x[field]),
-                ),
-            )
-
-        heads_ok = F.zip_with(
-            _cums("b"),
-            _cums("sq"),
-            lambda cb, cq: (cb < F.lit(t_eff)) | (cq < F.lit(t_sq)),
-        )
-        p = F.size(F.filter(heads_ok, lambda v: v))
+        p = _head_len(F.col("__fz_s"), "b", "sq", t_eff, t_sq)
         kept = agg.select(
             id_col,
             *stat_names,
@@ -856,22 +872,7 @@ def _cosine_prefix_candidates(
         ).alias("__fz_s")
     )
 
-    def _cums(field):
-        return F.aggregate(
-            F.col("__fz_s"),
-            F.array().cast("array<double>"),
-            lambda acc, x: F.concat(
-                acc,
-                F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + x[field]),
-            ),
-        )
-
-    heads_ok = F.zip_with(
-        _cums("b"),
-        _cums("sq"),
-        lambda cb, cq: (cb < F.lit(t_eff)) | (cq < F.lit(t_sq)),
-    )
-    p = F.size(F.filter(heads_ok, lambda v: v))
+    p = _head_len(F.col("__fz_s"), "b", "sq", t_eff, t_sq)
     indexed = agg.select(
         rkey,
         F.explode(F.slice("__fz_s", p + 1, F.greatest(F.size("__fz_s") - p, F.lit(0)))).alias(

@@ -98,11 +98,15 @@ SUPPORTED_METHODS = frozenset(
 )
 
 
-def _bloom_sig_cols(gs_col) -> list:
+def _bloom_sig_cols(gs_col, hashed: bool = False) -> list:
     """s0..s7 Column list: 512-bit gram Bloom signature over a distinct-gram
-    array column, computed as pure JVM expressions."""
+    array column, computed as pure JVM expressions. hashed=True means
+    `gs_col` already holds the xxhash64'd gram array — each signature word
+    aggregates over the SAME hash array column instead of re-hashing the
+    grams NSIG times (the hash transform was embedded in all 8 word
+    expressions; values are identical either way)."""
 
-    hashed = F.transform(gs_col, lambda g: F.xxhash64(g))
+    hashed = gs_col if hashed else F.transform(gs_col, lambda g: F.xxhash64(g))
 
     def _sig(gs, i):
         one = F.lit(1).cast("long")
@@ -261,34 +265,69 @@ def er_pipeline(
     # the total multiset count, cosine the gram->count map — so the
     # candidate stage shuffles 16-byte kids + grams, never key strings
     need_grams = bloom or method in _EDIT_DAMAGE or method == "qgram"
-    _gs = F.array_distinct(qgrams_col("key", q))
-    # binned multiset entries array<struct<b,c>> for the qgram/cosine edge
-    # refine: gram-hash bin + count, computed ONCE per distinct key at
-    # persist time (inlining the O(g²) count-map expression into the
-    # 128-bin signature lambda re-evaluates it per bin — measured 7x the
-    # whole pipeline wall at small scale)
-    _me = F.transform(
-        F.map_entries(_count_map_col("key", q)),
+    # The per-key cache columns are built as a CHAIN of projections so each
+    # heavy expression evaluates exactly once per key: a single flat select
+    # re-evaluated the O(g) gram extraction up to 10x per key (gs, n, and
+    # every Bloom word embedded their own array_distinct(qgrams)) and the
+    # O(g²) count-map TWICE (cm and the binned `me` entries) — measured as
+    # the dominant share of the 7.8 s cosine dictionary build at 50k keys.
+    # CollapseProject keeps non-cheap aliases referenced more than once in
+    # separate projections (verified in the optimized plan), so:
+    #   stage 1: the one heavy profile column (cm for qgram/cosine, gs for
+    #            jaccard/edit)
+    #   stage 2: everything derived from it by O(g) expressions
+    #            (map_keys(cm) IS array_distinct(qgrams) in the same
+    #            first-occurrence order; tc = Σ map_values(cm))
+    #   stage 3: the NSIG Bloom words over one shared pre-hashed array
+    base = keys.select("key", "kid").where(F.col("key").isNotNull()).distinct()
+    _me_from_cm = F.transform(
+        F.map_entries(F.col("cm")),
         lambda e: F.struct(
             F.pmod(F.xxhash64(e["key"]), F.lit(MASS_BINS)).cast("int").alias("b"),
             e["value"].cast("double").alias("c"),
         ),
     )
-    uniq = (
-        keys.select("key", "kid")
-        .where(F.col("key").isNotNull())
-        .distinct()
-        .select(
-            "key",
-            "kid",
-            *([_gs.alias("gs"), F.size(_gs).alias("n")] if need_grams else []),
-            *([F.size(qgrams_col("key", q)).alias("tc")] if method == "qgram" else []),
-            *([_count_map_col("key", q).alias("cm")] if method == "cosine" else []),
-            *([_me.alias("me")] if method in ("qgram", "cosine") else []),
-            *(_bloom_sig_cols(_gs) if sigs_on_uniq else []),
+    if method in ("qgram", "cosine"):
+        u1 = base.select("key", "kid", _count_map_col("key", q).alias("cm"))
+        cols2 = ["key", "kid", _me_from_cm.alias("me")]
+        if method == "qgram":
+            cols2 += [
+                F.map_keys("cm").alias("gs"),
+                F.aggregate(
+                    F.map_values("cm"), F.lit(0), lambda acc, c: acc + c
+                ).alias("tc"),
+            ]
+        else:
+            cols2.append("cm")
+        u2 = u1.select(*cols2)
+        gs_ref = F.col("gs") if method == "qgram" else F.map_keys("cm")
+        u3 = u2.select(
+            "*",
+            F.transform(gs_ref, lambda g: F.xxhash64(g)).alias("__hs"),
+            *([F.size(gs_ref).alias("n")] if method == "qgram" else []),
         )
-        .persist()
-    )
+        uniq = u3.select(
+            *[c for c in u3.columns if c != "__hs"],
+            *_bloom_sig_cols(F.col("__hs"), hashed=True),
+        ).persist()
+    elif need_grams:
+        _gs = F.array_distinct(qgrams_col("key", q))
+        u1 = base.select("key", "kid", _gs.alias("gs"))
+        if sigs_on_uniq:
+            u2 = u1.select(
+                "key", "kid", "gs", F.size("gs").alias("n"),
+                F.transform("gs", lambda g: F.xxhash64(g)).alias("__hs"),
+            )
+            uniq = u2.select(
+                "key", "kid", "gs", "n",
+                *_bloom_sig_cols(F.col("__hs"), hashed=True),
+            ).persist()
+        else:
+            uniq = u1.select(
+                "key", "kid", "gs", F.size("gs").alias("n")
+            ).persist()
+    else:  # jaro/jw: blocking derives its own char tokens from the key
+        uniq = base.persist()
     _stage_persists: list[DataFrame] = []  # freed after the pairs stage writes
 
     _uniq_stats: list[tuple[int, int]] = []
