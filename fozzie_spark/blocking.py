@@ -116,11 +116,57 @@ def _gram_counts(keys: DataFrame, key: str, q: int) -> DataFrame:
 
 
 def _count_map_col(col: str, q: int):
-    """map<gram, multiset count> per key, built as pure JVM expressions."""
+    """map<gram, multiset count> per key, built as pure JVM expressions.
+
+    Sorted-run form: sort the gram array once, find the run boundaries,
+    and read distinct grams + counts off them — O(g log g) per key. The
+    previous form counted each distinct gram with a full-array filter,
+    O(g²) per key, which dominated the ER dictionary build on document
+    keys (~50 grams => ~2,700 interpreted ops per key). Map keys now come
+    out SORTED instead of in first-occurrence order; every consumer
+    treats the map as a multiset (keyed lookups, order-insensitive
+    joins/sorts, integer counts exact either way) — the only observable
+    drift is the summation order of downstream floating-point profile
+    aggregates (norms, binned masses), all of which feed LOSSLESS bounds
+    with 1e-9 slack and exact re-verification, never results."""
     ga = qgrams_col(col, q)
-    sa = F.array_distinct(ga)
-    return F.map_from_arrays(
-        sa, F.transform(sa, lambda g: F.size(F.filter(ga, lambda x: x == g)))
+
+    # A lambda that references an outer COLUMN EXPRESSION gets that
+    # expression inlined and re-evaluated per element (an early form
+    # re-sorted the array once per index — measured 20x SLOWER than the
+    # O(g²) filter). Bind each computed array once as a lambda variable
+    # via transform over a one-element array.
+    def _bind(expr, fn):
+        return F.element_at(F.transform(F.array(expr), fn), 1)
+
+    def _from_sorted(s):
+        # 1-based positions where a run of equal grams ENDS in `s`
+        ends = F.filter(
+            F.sequence(F.lit(1), F.size(s)),
+            lambda i: F.try_element_at(s, i + 1).isNull()
+            | (F.element_at(s, i) != F.try_element_at(s, i + 1)),
+        )
+
+        def _from_ends(e):
+            sa = F.transform(e, lambda i: F.element_at(s, i))
+            counts = F.zip_with(
+                e,
+                F.concat(
+                    F.array(F.lit(0)),
+                    F.slice(e, 1, F.greatest(F.size(e) - 1, F.lit(0))),
+                ),
+                lambda x, p: x - p,
+            )
+            return F.map_from_arrays(sa, counts)
+
+        return _bind(ends, _from_ends)
+
+    return F.when(
+        F.length(F.col(col)) >= q, _bind(F.array_sort(ga), _from_sorted)
+    ).otherwise(
+        F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<int>")
+        )
     )
 
 
