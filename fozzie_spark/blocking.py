@@ -554,10 +554,12 @@ def qgram_candidates_ids(
     carry = ["__fz_tc", F.size("__fz_gs").alias("__fz_n"), *sigw] if sig_words else []
     tok = prof.select(id_col, *carry, F.explode("__fz_gs").alias("__fz_g"))
     carry_names = ["__fz_tc", "__fz_n", *sigw] if sig_words else []
-    if max_gram_df:
+    if max_gram_df and prefix_mode == "simple":
         # hot-gram df cap (approximate valve — see cosine_candidates_ids);
         # __fz_n / __fz_tc / the Bloom words stay FULL-profile, so every
-        # inline bound below remains valid for the true distance
+        # inline bound below remains valid for the true distance. The
+        # prefix path applies the same cap as a free filter on its own
+        # gram-df join below; only the simple path needs the keep list.
         keep = (
             tok.select("__fz_g")
             .groupBy("__fz_g")
@@ -572,8 +574,13 @@ def qgram_candidates_ids(
         gram_df = tok.select(id_col, "__fz_g").groupBy("__fz_g").agg(
             F.count(F.lit(1)).alias("__fz_df")
         )
+        ranked = tok.join(gram_df, "__fz_g")
+        if max_gram_df:
+            # free cap (see cosine_candidates_ids): surviving grams keep
+            # the same df, every profile stat stays full-profile
+            ranked = ranked.where(F.col("__fz_df") <= max_gram_df)
         agg = (
-            tok.join(gram_df, "__fz_g")
+            ranked
             .groupBy(id_col)
             .agg(
                 F.array_sort(F.collect_list(F.struct("__fz_df", "__fz_g"))).alias("__fz_s"),
@@ -725,14 +732,18 @@ def cosine_candidates_ids(
             *stat_names,
         )
     )
-    if max_gram_df:
+    if max_gram_df and prefix_mode == "simple":
         # hot-gram df cap (approximate valve, same contract as the
         # jaccard path): grams hotter than the cap are dropped from BOTH
         # the probe and index token streams — a pair whose entire overlap
         # was capped boilerplate is the caller's sorted-neighborhood
         # pass's job. The keep-list is bounded by the distinct-gram count
         # (for char q-grams, by alphabet^q), so the broadcast is safe at
-        # any corpus size.
+        # any corpus size. Only the simple path needs this extra
+        # groupBy + broadcast probe; the prefix path below already joins
+        # per-gram stats carrying df and applies the cap as a free filter
+        # (measured: the keep-join DOUBLED the capped builder's wall at
+        # 50k keys to drop one gram).
         keep = (
             tok.groupBy("__fz_g")
             .agg(F.count(F.lit(1)).alias("__fz_df0"))
@@ -771,7 +782,15 @@ def cosine_candidates_ids(
         stats = tok.groupBy("__fz_g").agg(
             F.max("__fz_w").alias("__fz_mw"), F.count(F.lit(1)).alias("__fz_df")
         )
-        rj = tok.join(stats, "__fz_g").select(
+        rj = tok.join(stats, "__fz_g")
+        if max_gram_df:
+            # the cap rides the stats join for free: dropping a capped
+            # gram's rows HERE leaves every surviving gram's df/mw and
+            # every key's norm/weights untouched, so the kept prefixes are
+            # bit-identical to filtering the token stream up front — minus
+            # the extra groupBy + broadcast probe that needed
+            rj = rj.where(F.col("__fz_df") <= max_gram_df)
+        rj = rj.select(
             id_col,
             "__fz_g",
             (F.col("__fz_w") * F.col("__fz_mw")).alias("__fz_b"),

@@ -79,12 +79,24 @@ def main():
             .persist()
         )
     else:
-        uniq = (
-            keys.select("key", "kid").where(F.col("key").isNotNull()).distinct()
-            .select("key", "kid", _count_map_col("key", q).alias("cm"),
-                    _me.alias("me"), *_bloom_sig_cols(_gs))
-            .persist()
+        # mirror pipeline.py's chained build
+        base = keys.select("key", "kid").where(F.col("key").isNotNull()).distinct()
+        _me_from_cm = F.transform(
+            F.map_entries(F.col("cm")),
+            lambda e: F.struct(
+                F.pmod(F.xxhash64(e["key"]), F.lit(128)).cast("int").alias("b"),
+                e["value"].cast("double").alias("c"),
+            ),
         )
+        u1 = base.select("key", "kid", _count_map_col("key", q).alias("cm"))
+        u2 = u1.select("key", "kid", _me_from_cm.alias("me"), "cm")
+        u3 = u2.select(
+            "*", F.transform(F.map_keys("cm"), lambda g: F.xxhash64(g)).alias("__hs")
+        )
+        uniq = u3.select(
+            *[c for c in u3.columns if c != "__hs"],
+            *_bloom_sig_cols(F.col("__hs"), hashed=True),
+        ).persist()
     row = timed("uniq.agg (materialize persist)",
                 lambda: tuple(uniq.agg(F.count(F.lit(1)), F.sum(F.octet_length("key"))).first()))
     n_uniq = int(row[0])
@@ -139,12 +151,25 @@ def main():
         timed("n_capped count", lambda: gsrc.groupBy("g").agg(
             F.count(F.lit(1)).alias("df")).where(F.col("df") > cap).count())
         prof = uniq.select("kid", F.col("cm").alias("__fz_cm"), *_sw)
-        cand = B.cosine_candidates_ids(
+        cand_nocap = B.cosine_candidates_ids(
             prof, "kid", max_distance, prefix_mode="prefix", sig_words=NSIG,
             max_gram_df=None, bin_words=0,
         )
-        timed("cosine_candidates.noop", lambda: noop(cand))
-        timed("cosine_candidates count", lambda: cand.count())
+        timed("candidates UNCAPPED.noop", lambda: noop(cand_nocap))
+        cand_cap = B.cosine_candidates_ids(
+            prof, "kid", max_distance, prefix_mode="prefix", sig_words=NSIG,
+            max_gram_df=cap, bin_words=0,
+        )
+        timed("candidates capped.noop", lambda: noop(cand_cap))
+        from fozzie_spark.blocking import sorted_neighborhood_candidates
+        sn = sorted_neighborhood_candidates(uniq.select("key"), "key", window=10)
+        extra = sn.select(
+            key_id(F.col("key")).alias("a"), key_id(F.col("key2")).alias("b")
+        ).select(F.least("a", "b").alias("kid"), F.greatest("a", "b").alias("kid2"))
+        timed("SN pass.noop", lambda: noop(extra))
+        full = cand_cap.unionByName(extra).distinct()
+        timed("capped+SN distinct.noop (full pairs output)", lambda: noop(full))
+        timed("UNCAPPED distinct again.noop", lambda: noop(cand_nocap))
 
     spark.stop()
 
