@@ -271,8 +271,6 @@ def cosine_topk(
         )
 
     if strategy == "lsh":
-        if dim is None:
-            dim = len(corpus.select(vec_col).first()[0])
         qs = _banded(lsh_signatures(queries, id_col, vec_col, n_planes, seed, dim=dim),
                      n_planes, bands).select(
             F.col("id").alias("query_id"), F.col("v").alias("qv"), "band", "bh",
@@ -351,15 +349,25 @@ def lsh_signatures(
 ) -> DataFrame:
     """(id, sig): sign pattern of `n_planes` random hyperplanes, computed
     with one NumPy matmul per Arrow batch (vectorized pandas UDF).
-    Pass `dim` to skip the one-row driver probe for the vector width."""
 
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    `dim` may be None: the hyperplanes are then derived INSIDE the UDF
+    from the first Arrow batch's width (deterministic — `_hyperplanes`
+    is a pure function of (dim, n_planes, seed), so every task builds the
+    same matrix) instead of paying a one-row driver probe job per call."""
+
+    planes0 = _hyperplanes(dim, n_planes, seed) if dim is not None else None
+    cache: dict = {}
 
     @F.pandas_udf(LongType())
     def sig_udf(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        planes = planes0
+        if planes is None:
+            planes = cache.get(mat.shape[1])
+            if planes is None:  # once per task (cache is task-local)
+                planes = cache[mat.shape[1]] = _hyperplanes(
+                    mat.shape[1], n_planes, seed
+                )
         bits = (mat @ planes) > 0  # (batch, n_planes)
         out = np.zeros(len(vecs), dtype=np.int64)
         for b in range(planes.shape[1]):
@@ -409,8 +417,6 @@ def lsh_cosine_pairs(
     Self-join by default (id1 < id2); pass `other` for a two-table join
     (id1 from df, id2 from other, both sides bucketed with the SAME
     hyperplanes so buckets align)."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
     sigs = lsh_signatures(df, id_col, vec_col, n_planes, seed, dim=dim)
     # per-SIDE norms computed before the band join so the verify step reads
     # them as columns — `cosine_similarity_col` would re-aggregate both

@@ -125,20 +125,7 @@ class StageRunner:
                 # subtree entirely (zero-candidate plans) — no metrics then
                 pass
         if self.collect_metrics:
-            per_part = (
-                out.groupBy(F.spark_partition_id().alias("partition"))
-                .agg(F.count(F.lit(1)).alias("rows"))
-                .collect()
-            )
-            metrics.update(
-                {
-                    "rows": int(sum(r["rows"] for r in per_part)),
-                    "partitions": len(per_part),
-                    "rows_per_partition": {
-                        str(r["partition"]): int(r["rows"]) for r in per_part
-                    },
-                }
-            )
+            metrics.update(self._partition_metrics(out, data_path))
 
         manifest = {
             "stage": name,
@@ -155,6 +142,48 @@ class StageRunner:
         os.replace(tmp, manifest_path)  # manifest last => commit point
         self.manifests[name] = manifest
         return out
+
+    def _partition_metrics(self, out: DataFrame, data_path: str) -> dict:
+        """Per-partition row counts for the stage manifest's lineage block.
+
+        Parquet stage tables on a locally-readable path answer this from
+        the FILE FOOTERS (one metadata read per part file, no Spark job) —
+        the post-write partition scan was a full extra job per stage,
+        measurable against the whole pipeline wall (guide §1: don't pay a
+        job for what metadata already records). Footer counts are exact:
+        rows == written rows, one entry per part file (per-FILE lineage,
+        where the scan reported per-read-split). Non-parquet formats and
+        non-local paths keep the scan fallback."""
+        if self.table_format == "parquet":
+            try:
+                import glob
+
+                import pyarrow.parquet as pq
+
+                files = sorted(glob.glob(os.path.join(data_path, "*.parquet")))
+                if files:
+                    rows = [pq.ParquetFile(f).metadata.num_rows for f in files]
+                    return {
+                        "rows": int(sum(rows)),
+                        "partitions": len(files),
+                        "rows_per_partition": {
+                            str(i): int(r) for i, r in enumerate(rows)
+                        },
+                    }
+            except Exception:
+                pass
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("partition"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        return {
+            "rows": int(sum(r["rows"] for r in per_part)),
+            "partitions": len(per_part),
+            "rows_per_partition": {
+                str(r["partition"]): int(r["rows"]) for r in per_part
+            },
+        }
 
     def metric(self, stage: str, key: str):
         return self.manifests.get(stage, {}).get("metrics", {}).get(key)

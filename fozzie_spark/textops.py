@@ -35,16 +35,28 @@ def tokens_col(text_col: str):
 
 
 def word_shingles_col(text_col: str, w: int):
-    """Array of w-word shingles (space-joined), [] when fewer than w tokens."""
+    """Array of w-word shingles (space-joined), [] when fewer than w tokens.
+
+    The token array is BOUND once as a lambda variable (transform over a
+    one-element array): a lambda that references an outer column
+    expression gets it inlined and re-evaluated per element, so the
+    previous form re-ran the whitespace-split regex once per SHINGLE —
+    O(tokens x shingles) regex work per document, measured as the
+    dominant cost of the minhash signature stage. Same expressions, same
+    values."""
     toks = tokens_col(text_col)
-    n = F.size(toks)
-    return F.when(
-        n >= w,
-        F.transform(
-            F.sequence(F.lit(0), n - w),
-            lambda i: F.array_join(F.slice(toks, i + 1, w), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _build(t):
+        n = F.size(t)
+        return F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda i: F.array_join(F.slice(t, i + 1, w), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), _build), 1)
 
 
 # --------------------------------------------------------------------------
