@@ -484,26 +484,64 @@ def er_pipeline(
         # rows; carrying them pays ~64 B/row more shuffle on the ~10^7 gram
         # rows instead — sequential I/O for random probes, a bandwidth win
         # at the candidate volumes this stage sees.
-        grams = uniq.select("kid", "n", *sig_cols, F.explode("gs").alias("g"))
+        positional = method == "jaccard" and t > 0
+        grams = uniq.select(
+            "kid", "n", *([] if positional else sig_cols),
+            F.explode("gs").alias("g"),
+        )
         # the per-gram df table is small (bounded by distinct grams);
         # persisted because three consumers need it (the df lookup join, and
         # the did-the-cap-trigger probe that gates the SN pass)
-        gram_df_all = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).persist()
+        gram_df_all = (
+            grams.select("g").groupBy("g").agg(F.count(F.lit(1)).alias("df")).persist()
+        )
         _stage_persists.append(gram_df_all)
         n_capped = gram_df_all.where(F.col("df") > cap).count() if cap else 0
         gram_df = gram_df_all.where(F.col("df") <= cap) if cap else gram_df_all
-        # broadcast so the exploded gram rows don't shuffle for the df lookup
-        grams = grams.join(F.broadcast(gram_df), "g")  # inner: drops capped grams
-        positional = method == "jaccard" and t > 0
+        # broadcast so the exploded gram rows don't shuffle for the df
+        # lookup; LEFT join — capped grams keep a null df so the prefix
+        # ranking below can drop them while the signature aggregation
+        # still sees the FULL profile
+        grams = grams.join(F.broadcast(gram_df), "g", "left")
         if positional:
             # rank grams by global rarity per key WITHOUT a window: one
             # groupBy + per-key sort of a ~50-element array + posexplode of
             # just the prefix. Same shuffle volume as the row_number window
             # but no per-partition global sort (measured slightly faster),
             # and the non-prefix tail never re-explodes.
+            # ---- signature fusion, narrow-key form: the Bloom words are
+            # RE-AGGREGATED here as map-side-combining bit_or()s of each
+            # gram's own signature bit over ALL the key's grams including
+            # capped ones (identical values to the uniq-cache words: the
+            # per-key word is an OR over its distinct grams either way),
+            # so the prefix groupBy shuffles (kid, df, g) rows and 8
+            # partially-combined longs per kid — not 64 B of signature
+            # payload per GRAM row — and the grouping key narrows from
+            # (kid, n, 8 words) to kid. Capped grams (null df) are
+            # excluded from the sorted prefix list (collect_list skips
+            # null elements), exactly like the previous inner join.
+            one = F.lit(1).cast("long")
+            h = F.xxhash64("g")
+            bit = F.call_function(
+                "shiftleft", one, F.pmod(F.shiftright(h, 3), F.lit(64)).cast("int")
+            )
+            sig_aggs = [
+                F.bit_or(
+                    F.when(F.pmod(h, F.lit(NSIG)) == i, bit).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ).alias(f"s{i}")
+                for i in range(NSIG)
+            ]
             plen = (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int")
-            agg = grams.groupBy("kid", "n", *sig_cols).agg(
-                F.array_sort(F.collect_list(F.struct("df", "g"))).alias("__sorted")
+            agg = grams.groupBy("kid").agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("df").isNotNull(), F.struct("df", "g"))
+                    )
+                ).alias("__sorted"),
+                F.first("n").alias("n"),
+                *(sig_aggs if bloom else []),
             )
             grams = agg.select(
                 "kid", "n", *sig_cols,
@@ -513,7 +551,9 @@ def er_pipeline(
                 F.col("__e.g").alias("g"), (F.col("__p") + 1).alias("rn"),
             )
         else:
-            grams = grams.withColumn("rn", F.lit(1))
+            # non-positional path: capped grams (null df from the left
+            # join) drop here, matching the previous inner-join semantics
+            grams = grams.where(F.col("df").isNotNull()).withColumn("rn", F.lit(1))
         grams = grams.select("kid", "n", *sig_cols, "g", "rn")
 
         # BOTH sides of the candidate self-join derive from this frame, and
