@@ -718,18 +718,24 @@ def cosine_candidates_ids(
             / nrm,
         )
         carry0 = [*carry0, bins.alias("__fz_bins")]
+    # prefix mode ships only (id, gram, weight) through the stats join and
+    # the prefix groupBy; the per-key stats (norm, cmax, Bloom words, bins)
+    # re-attach ONCE per key after the aggregation — carrying ~100 B of
+    # stat payload on every token row through two exchanges was measurable
+    # against the whole builder wall. The simple path still carries them
+    # (its candidate join reads stats straight off the token rows).
     tok = (
         prof.select(
             id_col,
             F.explode("__fz_cm").alias("__fz_g", "__fz_c"),
             nrm.alias("__fz_nrm"),
-            *carry0,
+            *(carry0 if prefix_mode == "simple" else []),
         )
         .select(
             id_col,
             "__fz_g",
             (F.col("__fz_c") / F.col("__fz_nrm")).alias("__fz_w"),
-            *stat_names,
+            *(stat_names if prefix_mode == "simple" else []),
         )
     )
     if max_gram_df and prefix_mode == "simple":
@@ -796,7 +802,6 @@ def cosine_candidates_ids(
             (F.col("__fz_w") * F.col("__fz_mw")).alias("__fz_b"),
             (F.col("__fz_w") * F.col("__fz_w")).alias("__fz_sq"),
             "__fz_df",
-            *stat_names,
         )
         agg = rj.groupBy(id_col).agg(
             F.array_sort(
@@ -809,8 +814,16 @@ def cosine_candidates_ids(
                     )
                 )
             ).alias("__fz_s"),
-            *[F.first(c).alias(c) for c in stat_names],
         )
+        if stat_names:
+            # per-key stats re-attach here, once per key (no broadcast
+            # hint: the stat frame is one narrow row per key off the
+            # caller's cached profile — AQE broadcasts it when small and
+            # falls back to a bounded shuffle join at scale)
+            statf = prof.select(
+                id_col, nrm.alias("__fz_nrm"), *carry0
+            )
+            agg = agg.join(statf, id_col)
 
         p = _head_len(F.col("__fz_s"), "b", "sq", t_eff, t_sq)
         kept = agg.select(

@@ -446,8 +446,11 @@ def er_pipeline(
                 ).select(
                     F.least("a", "b").alias("kid"), F.greatest("a", "b").alias("kid2")
                 )
-                cand = cand.unionByName(extra)
-            return cand.distinct(), obs
+                # one distinct over the union; without the SN pass the
+                # builder's own distinct already holds (a second
+                # distinct re-shuffled the whole pair set for nothing)
+                cand = cand.unionByName(extra).distinct()
+            return cand, obs
 
         if method in ("jaro", "jw"):
             # (char, occurrence)-token prefix blocking (provable regime
@@ -468,7 +471,8 @@ def er_pipeline(
             )
             obs = Observation()
             cand = cand.observe(obs, F.count(F.lit(1)).alias("raw_candidates"))
-            return cand.distinct(), obs
+            # jaro_candidates_ids output is already distinct
+            return cand, obs
 
         t = 1.0 - max_distance  # similarity threshold
         cap = (
