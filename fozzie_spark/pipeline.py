@@ -70,8 +70,14 @@ COSINE_BIN_WORDS = 0
 
 #: per-bin gram-mass signature width for the qgram/cosine edge refine:
 #: discriminating while distinct-gram count << MASS_BINS (name/sentence
-#: keys), graceful pass-through beyond (kilobyte documents)
-MASS_BINS = 128
+#: keys), graceful pass-through beyond (kilobyte documents). r7: 128 ->
+#: 64 after a measured kill-rate control on the 20k er-cosine corpus
+#: (~50-gram keys): 64 bins still cut the no-popcount candidate superset
+#: 37.9M -> 187k (vs 48k at 128, 24M at 32) at HALF the per-pair refine
+#: cost and half the per-key payload the chunked refine path must move
+#: through the kid2 exchange — the survivors all re-score exactly, so
+#: results are identical at any width.
+MASS_BINS = 64
 
 #: q-grams destroyed per edit, per method (transpositions destroy q+1) —
 #: drives the edit-family short-key block's losslessness cutoff
@@ -896,7 +902,27 @@ def er_pipeline(
             # msig doubles + Bloom words + per-key stats
             n_u * (MASS_BINS * 8 + NSIG * 8 + 48) if refine is not None else 0
         )
-        broadcastable = n_u < 5_000_000 and dict_bytes < EDGES_DICT_BROADCAST_BYTES
+        # the broadcast gate derives from the LIVE driver heap (same
+        # pattern as cluster.driver_finish_budget): a broadcast build
+        # funnels the dictionary through the driver once and pins one
+        # built relation per executor, so heap//8 is a conservative
+        # budget — a 16 GB bench driver admits ~2 GB (which keeps the
+        # 200k-entity er-cosine dictionary on the broadcast + codegen
+        # path instead of the chunked refine), while a default 1 GB
+        # session stays at the 256 MB constant floor.
+        try:
+            heap = int(
+                spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+            )
+        except Exception:
+            heap = 0
+        # the configured constant stays authoritative as floor AND 8x
+        # ceiling (so the =0 test/ops hook still forces the shuffle path)
+        gate = min(
+            EDGES_DICT_BROADCAST_BYTES * 8,
+            max(EDGES_DICT_BROADCAST_BYTES, heap // 8),
+        )
+        broadcastable = n_u < 5_000_000 and dict_bytes < gate
         if broadcastable:
             dict_a, dict_b = F.broadcast(dict_a), F.broadcast(dict_b)
 
