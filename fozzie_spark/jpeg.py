@@ -706,6 +706,12 @@ def encode_baseline_jpeg(img, sampling=(1, 1), qval=1, restart_interval=0):
                     zz = _fdct_quant(p[y0 : y0 + 8, x0 : x0 + 8], qval)
                     diff = int(zz[0]) - preds[ci]
                     t = int(abs(diff)).bit_length()
+                    if t > 11:
+                        raise ValueError(
+                            "encode_baseline_jpeg: DC difference magnitude "
+                            f"{abs(diff)} exceeds the encoder's 11-bit table "
+                            "— input values outside the 8-bit range?"
+                        )
                     ln, code = dc_codes[t]
                     bw.write(code, ln)
                     if t:
@@ -723,6 +729,19 @@ def encode_baseline_jpeg(img, sampling=(1, 1), qval=1, restart_interval=0):
                             bw.write(c2, l2)
                             run -= 16
                         s = int(abs(v)).bit_length()
+                        if s > 10:
+                            # the fixture encoder's AC table carries sizes
+                            # 1-10 (|coef| <= 1023); at qval=1 a
+                            # high-contrast block can exceed that — raise
+                            # clearly instead of a KeyError deep in the
+                            # bit writer (encoder constraint, not a
+                            # decoder limit)
+                            raise ValueError(
+                                "encode_baseline_jpeg: quantized AC "
+                                f"coefficient magnitude {abs(v)} exceeds the "
+                                "fixture encoder's 1023 limit — raise qval "
+                                "or lower image contrast"
+                            )
                         l2, c2 = ac_codes[(run << 4) | s]
                         bw.write(c2, l2)
                         enc = v if v >= 0 else v + (1 << s) - 1

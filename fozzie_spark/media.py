@@ -23,12 +23,27 @@ from __future__ import annotations
 
 import hashlib
 import io
+import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+#: the MALFORMED-MEDIA error set the per-doc decode loops catch under
+#: on_error="skip": every error a truncated/garbage/unsupported container
+#: or codec raises in the stdlib decode paths (struct/zlib/wave parse
+#: failures, bounds/lookup misses on corrupt indices, PIL's OSError, our
+#: own ValueError/NotImplementedError refusals). PROGRAMMING errors
+#: (TypeError, AttributeError, ZeroDivisionError, ...) are deliberately
+#: NOT in the set — a bare `except Exception` silently swallowed those
+#: along with bad media (round-6 review), turning bugs into dropped docs.
+_MEDIA_ERRORS = (
+    NotImplementedError, ValueError, KeyError, IndexError, EOFError,
+    OSError, struct.error, zlib.error, wave.Error,
+)
 
 MEDIA_SCHEMA = (
     "doc_id string, media_ref string, kind string, "
@@ -119,7 +134,10 @@ def extract_media_features(
                                 f"media_ref {ref!r} declared kind={kind!r} but "
                                 f"decoded as {dec_kind!r}"
                             )
-                    except Exception:
+                    except (*_MEDIA_ERRORS, RuntimeError):
+                        # RuntimeError stays caught HERE only: the
+                        # no-fetch-client refusal above is a per-ref
+                        # condition this loop has always skipped
                         if on_error == "error":
                             raise
                         continue
@@ -374,8 +392,10 @@ def decode_media_features(
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
                 try:
+                    if data is None:
+                        raise ValueError("null media bytes")
                     kind, w, h, nf, feat = _decode_bytes(bytes(data), feat_dim)
-                except Exception:
+                except _MEDIA_ERRORS:
                     if on_error == "error":
                         raise
                     continue
@@ -599,8 +619,10 @@ def probe_media(
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
                 try:
+                    if data is None:
+                        raise ValueError("null media bytes")
                     rows.append((doc_id, *_probe_bytes(bytes(data))))
-                except Exception:
+                except _MEDIA_ERRORS:
                     if on_error == "error":
                         raise
                     continue
@@ -742,14 +764,20 @@ def mp4_sample_ranges(
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
                 try:
-                    for si, off, size, is_sync in _mp4_sample_table(bytes(data), kind)[1]:
-                        if sync_only and not is_sync:
-                            continue
-                        rows.append((doc_id, si, off, size, is_sync))
-                except Exception:
+                    if data is None:
+                        raise ValueError("null media bytes")
+                    doc_rows = [
+                        (doc_id, si, off, size, is_sync)
+                        for si, off, size, is_sync in _mp4_sample_table(
+                            bytes(data), kind
+                        )[1]
+                        if is_sync or not sync_only
+                    ]
+                except _MEDIA_ERRORS:
                     if on_error == "error":
                         raise
                     continue
+                rows.extend(doc_rows)
             yield pd.DataFrame(
                 rows, columns=["doc_id", "sample_idx", "offset", "size", "is_sync"]
             )
@@ -800,7 +828,14 @@ def decode_mp4_frames(
         for pdf in batches:
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+                # per-doc buffer: a decode failure mid-doc must drop the
+                # WHOLE doc under on_error="skip" (the documented
+                # contract) — appending straight to `rows` leaked the
+                # already-decoded frames of a partially-bad doc
+                doc_rows = []
                 try:
+                    if data is None:
+                        raise ValueError("null media bytes")
                     b = bytes(data)
                     codec, samples = _mp4_sample_table(b, "video")
                     if codec not in _MJPEG_CODECS:
@@ -815,15 +850,16 @@ def decode_mp4_frames(
                         if max_frames is not None and taken >= max_frames:
                             break
                         img = decode_baseline_jpeg(b[off:off + size])
-                        rows.append((
+                        doc_rows.append((
                             doc_id, si, img.shape[1], img.shape[0], is_sync,
                             _image_feature(img, grid),
                         ))
                         taken += 1
-                except Exception:
+                except _MEDIA_ERRORS:
                     if on_error == "error":
                         raise
                     continue
+                rows.extend(doc_rows)
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "sample_idx", "width", "height", "is_sync", "feature"],
@@ -885,12 +921,14 @@ def audio_spectral_features(
             rows = []
             for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
                 try:
+                    if data is None:
+                        raise ValueError("null media bytes")
                     b = bytes(data)
                     if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
                         raise NotImplementedError("not a RIFF/WAVE clip")
                     rate, _nch, x = _decode_wav(b)
                     centroid, bands = _spectral_feature(x, rate, n_bands)
-                except Exception:
+                except _MEDIA_ERRORS:
                     if on_error == "error":
                         raise
                     continue

@@ -139,18 +139,27 @@ def _bloom_sig_cols(gs_col, hashed: bool = False) -> list:
 def _input_fingerprint(docs: DataFrame):
     """Deterministic input identity for the resume config hash.
 
-    File-backed plans hash their leaf files + schema — stable across
+    BARE file scans hash their leaf files + schema — stable across
     process restarts, so a killed job resumes (the north rule) and a
-    repointed/reshaped input invalidates. In-memory or generated plans
-    fall back to semanticHash, which is stable within a session but NOT
-    across JVM restarts when the plan embeds pickled Python functions
-    (mapInPandas/UDF bytes vary with hash randomization between
-    interpreters); callers that need cross-process resume over such
-    inputs must pass an explicit input_fingerprint (job.py derives one
-    from the synth args).
+    repointed/reshaped input invalidates. The fast path is restricted to
+    plans whose optimized form IS the relation (round-6 review: hashing
+    files+schema for ANY file-backed plan let `docs.where(...)` /
+    `.limit(...)` over the same files silently resume checkpoints from an
+    earlier unfiltered run). Everything else — transforms over scans,
+    in-memory or generated plans — falls back to semanticHash, which is
+    stable within a session but NOT across JVM restarts (measured even
+    for JVM-only filtered scans, not just pickled-Python plans), i.e.
+    conservative: a restarted process re-runs rather than ever reusing a
+    possibly-mismatched checkpoint. Callers that need cross-process
+    resume over such inputs pass an explicit input_fingerprint (job.py
+    derives one from the synth args).
     """
     try:
-        files = docs.inputFiles()
+        bare = (
+            docs._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+            == "LogicalRelation"
+        )
+        files = docs.inputFiles() if bare else []
     except Exception:
         files = []
     if files:
@@ -972,13 +981,25 @@ def er_pipeline(
                     _score(scored_input.where(sel == i)).write.mode(
                         "overwrite" if i == 0 else "append"
                     ).parquet(tmp)
+                _edge_tmpdirs.append(tmp)
                 return spark.read.parquet(tmp)
         return _score(scored_input)
 
+    _edge_tmpdirs: list[str] = []
     edges = runner.stage("edges", _edges, params=params, depends_on=refine_dep)
     for f in _edge_persists:  # edges output is parquet-backed now
         f.unpersist()
     _edge_persists.clear()
+    if _edge_tmpdirs:
+        # the chunked refine's staging dir duplicated the edges bytes on
+        # disk for the rest of the run — on exactly the disk-constrained
+        # runs the chunking protects; the stage table is committed, so
+        # drop it now
+        from fozzie_spark.cluster import _rm_path
+
+        for d in _edge_tmpdirs:
+            _rm_path(spark, d)
+        _edge_tmpdirs.clear()
 
     # ---- stage 4: transitive clustering over key ids ------------------------
     def _clusters():

@@ -554,3 +554,58 @@ def test_decode_mp4_frames_golden(spark):
             spark.createDataFrame([("a", bytearray(avc))], "doc_id string, media_bytes binary"),
             on_error="error",
         ).collect()
+
+
+def test_decode_mp4_frames_narrow_errors(spark, monkeypatch):
+    """on_error='skip' drops MALFORMED docs whole, but programming errors
+    raise (round-7: the bare `except Exception` swallowed both)."""
+    import numpy as np
+
+    from fozzie_spark import jpeg as jpeg_mod
+    from fozzie_spark.media import decode_mp4_frames
+
+    grays = [40, 200]
+    data, jpegs = mjpeg_mp4_bytes(grays, w=16, h=8)
+    # doc whose SECOND sample is corrupt: the first frame decodes, the
+    # second raises — the whole doc must be dropped (docstring contract),
+    # not leak its first frame
+    bad = bytearray(data)
+    off = data.index(jpegs[1])
+    bad[off:off + 8] = b"\x00" * 8
+    df = spark.createDataFrame(
+        [("ok", bytearray(data)), ("halfbad", bad), ("null", None)],
+        "doc_id string, media_bytes binary",
+    )
+    got = sorted((r["doc_id"], r["sample_idx"])
+                 for r in decode_mp4_frames(df, feat_dim=4).collect())
+    assert got == [("ok", 0), ("ok", 1)]
+
+    # a programming error inside the decode loop must RAISE even under
+    # on_error='skip' — it is a bug, not bad media
+    def boom(_b):
+        raise TypeError("programming error")
+
+    monkeypatch.setattr(jpeg_mod, "decode_baseline_jpeg", boom)
+    with pytest.raises(Exception, match="programming error"):
+        decode_mp4_frames(
+            spark.createDataFrame([("a", bytearray(data))],
+                                  "doc_id string, media_bytes binary"),
+        ).collect()
+
+
+def test_encode_baseline_jpeg_ac_overflow_raises():
+    """Inputs past the 8-bit range (future 16-bit-ish fixtures) can push
+    |AC| past the encoder's 1023-size table — a clear ValueError, not a
+    KeyError deep in the bit writer. (8-bit content maxes out at |AC|
+    1020 at qval=1, verified by a basis-sign sweep, so uint8 fixtures
+    never hit this.)"""
+    import numpy as np
+
+    from fozzie_spark.jpeg import encode_baseline_jpeg
+
+    img = np.full((8, 8), 128.0 - 4000.0)
+    img[::2, :] = 128.0 + 4000.0  # zero-mean block: DC fine, AC overflows
+    with pytest.raises(ValueError, match="1023"):
+        encode_baseline_jpeg(img, qval=1)
+    with pytest.raises(ValueError, match="11-bit"):
+        encode_baseline_jpeg(np.full((8, 8), 5000.0), qval=1)

@@ -774,7 +774,10 @@ def test_edges_chunked_refine_equivalence(spark, tmp_path, monkeypatch):
     forced = er_pipeline(spark, docs, checkpoint_dir=str(tmp_path / "chunk"),
                          method="cosine", max_distance=0.25, q=3, resume=False,
                          edges_chunk_bytes=8 << 20)  # forces a handful of chunks
-    assert os.path.isdir(str(tmp_path / "chunk" / "edges_chunks"))
+    # r7: the chunk staging dir is deleted once the edges stage table
+    # commits (it duplicated the edges bytes on exactly the
+    # disk-constrained runs the chunking protects)
+    assert not os.path.isdir(str(tmp_path / "chunk" / "edges_chunks"))
     got_edges = sorted(
         ((r["kid"]["h1"], r["kid2"]["h1"]), round(r["dist"], 9))
         for r in forced["edges"].collect()
