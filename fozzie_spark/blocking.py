@@ -1054,6 +1054,7 @@ def jaro_candidates_ids(
     id_col: str,
     max_distance: float,
     prefix_weight: float = 0.0,
+    max_token_df: int | None = None,
 ) -> DataFrame:
     """SELF-join jaro/jw candidates over a precomputed profile frame — the
     id-keyed twin of `jaro_candidates` (same (char, occurrence)-token
@@ -1090,8 +1091,20 @@ def jaro_candidates_ids(
     # global token rarity (single side IS the shared order for a self-join);
     # the token-df table is tiny: |alphabet| x max per-key multiplicity
     tok_df = tok.groupBy("__fz_t").agg(F.count(F.lit(1)).alias("__fz_df"))
+    tj = tok.join(F.broadcast(tok_df), "__fz_t")
+    if max_token_df:
+        # hot-TOKEN df cap (r7; the jw twin of the qgram/cosine hot-gram
+        # valve): on uniform-character corpora occurrence-1 tokens carry
+        # df ~ 0.4n, making the prefix join ~n^2 REGARDLESS of ordering
+        # (r6 negative result #3) — capped tokens drop out of the index
+        # here, the per-key prefix widens over the SURVIVING rarest
+        # tokens (a superset over survivors; plen still derives from the
+        # full key length), and the caller's sorted-neighborhood pass +
+        # exact verifier own the recall for capped-overlap pairs.
+        # APPROXIMATE by design, like every max_gram_df valve.
+        tj = tj.where(F.col("__fz_df") <= max_token_df)
     agg = (
-        tok.join(F.broadcast(tok_df), "__fz_t")
+        tj
         .groupBy(id_col)
         .agg(
             F.array_sort(F.collect_list(F.struct("__fz_df", "__fz_t"))).alias("__fz_s"),

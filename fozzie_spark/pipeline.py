@@ -481,12 +481,46 @@ def er_pipeline(
                 F.length("key").cast("int").alias("__fz_kn"),
                 B.char_occurrence_tokens("key").alias("__fz_ts"),
             )
+            # hot-TOKEN valve (r7; VERDICT r6 residual): same
+            # corpus-relative df cap + sorted-neighborhood recovery the
+            # qgram/cosine paths run, applied to (char, occurrence)
+            # tokens. On realistic name corpora the cap never fires
+            # (n_capped == 0) and the builder runs uncapped —
+            # bit-identical to round 6; on adversarial uniform-character
+            # corpora (occurrence-1 token df ~ 0.4n, candidates ~n^2 —
+            # BENCH negative result #3) capped tokens leave the index and
+            # the SN pass + exact verifier own the recall.
+            cap = (
+                max(10_000, _n_uniq() // 8)
+                if max_gram_df == "auto"
+                else max_gram_df
+            )
+            n_capped = (
+                prof.select(F.explode("__fz_ts").alias("t"))
+                .groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+                .where(F.col("df") > cap).count()
+                if cap
+                else 0
+            )
             cand = B.jaro_candidates_ids(
-                prof, "kid", max_distance, prefix_weight=prefix_weight
+                prof, "kid", max_distance, prefix_weight=prefix_weight,
+                max_token_df=cap if n_capped else None,
             )
             obs = Observation()
             cand = cand.observe(obs, F.count(F.lit(1)).alias("raw_candidates"))
-            # jaro_candidates_ids output is already distinct
+            if sn_window and n_capped:
+                from fozzie_spark.blocking import sorted_neighborhood_candidates
+
+                sn = sorted_neighborhood_candidates(
+                    uniq.select("key"), "key", window=sn_window
+                )
+                extra = sn.select(
+                    key_id(F.col("key")).alias("a"), key_id(F.col("key2")).alias("b")
+                ).select(
+                    F.least("a", "b").alias("kid"), F.greatest("a", "b").alias("kid2")
+                )
+                cand = cand.unionByName(extra).distinct()
+            # builder output is already distinct on the uncapped path
             return cand, obs
 
         t = 1.0 - max_distance  # similarity threshold
