@@ -667,3 +667,19 @@ def test_cosine_ids_sig_bin_bound_lossless(spark):
     # bin_words without the signature path is refused
     with pytest.raises(ValueError, match="bin_words requires sig_words"):
         blocking.cosine_candidates_ids(prof, "kid", tau, bin_words=8)
+
+
+def test_use_tiny_cross_gate(spark):
+    """The tiny-input cross route fires only for provably small key
+    frames; large inputs keep the index plans (r7)."""
+    from pyspark.sql import functions as F
+
+    from fozzie_spark import blocking as B
+
+    small = spark.range(0, 50).select(F.col("id").cast("string").alias("k"))
+    assert B.use_tiny_cross(small, small)
+    big = spark.range(0, 200_000).select(F.col("id").cast("string").alias("k"))
+    assert not B.use_tiny_cross(big, big)
+    # unknown stats (driver-local relation -> LogicalRDD) stay conservative
+    unk = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+    assert not B.use_tiny_cross(unk, unk)
